@@ -1,0 +1,74 @@
+package vps.geom
+
+import org.apache.spark.sql.types.{BinaryType, DataType, UDTRegistration, UserDefinedType}
+import org.locationtech.jts.geom._
+import org.locationtech.jts.io.{WKBReader, WKBWriter, WKTReader, WKTWriter}
+
+/** WKB-backed Catalyst [[UserDefinedType]] for JTS [[Geometry]].
+  *
+  * Plays the role GeoMesa's `AbstractGeometryUDT` plays in the reference
+  * (`/root/reference/src/main/scala/vectorpipe/VectorPipe.scala:90-92` requires the
+  * geometry column to be a UDT). Backed by WKB bytes so geometry values flow through
+  * Tungsten/whole-stage-codegen rows without Kryo (the reference needs Kryo only
+  * because it hops to RDDs; we never do).
+  */
+class GeometryUDT extends UserDefinedType[Geometry] {
+  override def sqlType: DataType = BinaryType
+  override def serialize(g: Geometry): Any =
+    if (g == null) null else Wkb.write(g)
+  override def deserialize(datum: Any): Geometry = datum match {
+    case null            => null
+    case b: Array[Byte]  => Wkb.read(b)
+    case g: Geometry     => g
+  }
+  override def userClass: Class[Geometry] = classOf[Geometry]
+  override def typeName: String = "geometry"
+  override def pyUDT: String = ""
+  override def equals(o: Any): Boolean = o.isInstanceOf[GeometryUDT]
+  override def hashCode(): Int = classOf[GeometryUDT].getName.hashCode
+}
+
+case object GeometryUDT extends GeometryUDT
+
+/** Thread-local WKB/WKT codecs (JTS readers/writers are not thread-safe). */
+object Wkb {
+  private val reader = ThreadLocal.withInitial[WKBReader](() => new WKBReader(Geo.factory))
+  private val writer = ThreadLocal.withInitial[WKBWriter](() => new WKBWriter(2))
+  def read(b: Array[Byte]): Geometry = reader.get().read(b)
+  def write(g: Geometry): Array[Byte] = writer.get().write(g)
+}
+
+object Wkt {
+  private val reader = ThreadLocal.withInitial[WKTReader](() => new WKTReader(Geo.factory))
+  private val writer = ThreadLocal.withInitial[WKTWriter](() => new WKTWriter(2))
+  def read(s: String): Geometry = reader.get().read(s)
+  def write(g: Geometry): String = writer.get().write(g)
+}
+
+/** Shared geometry factory + UDT registration. */
+object Geo {
+  val factory: GeometryFactory = new GeometryFactory(new PrecisionModel(), 4326)
+
+  /** Register the UDT for JTS Geometry and every concrete subclass, so
+    * `Encoder`s over case classes with geometry fields resolve. Idempotent.
+    */
+  def registerUDTs(): Unit = synchronized {
+    val udt = classOf[GeometryUDT].getName
+    Seq(
+      classOf[Geometry], classOf[Point], classOf[LineString], classOf[LinearRing],
+      classOf[Polygon], classOf[MultiPoint], classOf[MultiLineString],
+      classOf[MultiPolygon], classOf[GeometryCollection]
+    ).foreach { c =>
+      if (!UDTRegistration.exists(c.getName)) UDTRegistration.register(c.getName, udt)
+    }
+  }
+
+  def point(x: Double, y: Double): Point = factory.createPoint(new Coordinate(x, y))
+
+  /** Axis-aligned rectangle polygon (CCW shell). */
+  def box(xmin: Double, ymin: Double, xmax: Double, ymax: Double): Polygon =
+    factory.createPolygon(Array(
+      new Coordinate(xmin, ymin), new Coordinate(xmax, ymin),
+      new Coordinate(xmax, ymax), new Coordinate(xmin, ymax),
+      new Coordinate(xmin, ymin)))
+}
