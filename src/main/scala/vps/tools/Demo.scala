@@ -47,6 +47,21 @@ object Demo {
     // UDT survives a shuffle + filter round trip
     val survived = docs.repartition(4, $"id").filter(d => d.geom != null && !d.geom.isEmpty).count()
     println(s"geomSurvived=$survived")
+
+    // MVT: encode tiles from grouped points inside executors, decode on driver
+    import vps.mvt._
+    val tiles = keyed
+      .groupBy($"tx", $"ty")
+      .agg(collect_list($"id").as("ids"))
+      .as[(Int, Int, Seq[Long])]
+      .map { case (tx, ty, ids) =>
+        val feats = ids.map(i => MvtFeature(Some(i), Geo.point((i % 4096).toDouble, (i % 4096).toDouble),
+          Seq("id" -> MvtValue.I64(i))))
+        (tx, ty, Mvt.encode(MvtTile(Seq(TileBuilder.buildLayer("docs", feats)))))
+      }
+    val encoded = tiles.collect()
+    val decodedFeatures = encoded.map { case (_, _, b) => Mvt.decode(b).layers.head.features.size }.sum
+    println(s"tiles=${encoded.length} mvtFeatures=$decodedFeatures bytes=${encoded.map(_._3.length).sum}")
     spark.stop()
   }
 }
