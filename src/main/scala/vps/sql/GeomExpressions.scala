@@ -1,0 +1,342 @@
+package vps.sql
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.locationtech.jts.geom.Geometry
+
+import vps.geom.{CellId, Geo, GeometryUDT, TileMath, Wkb, Wkt}
+import vps.kernels.{Clip, Simplify}
+
+/** Native Catalyst expressions for the geometry/tiling operator surface
+  * (SURVEY.md §2.8 F20-F27). Geometry values travel as WKB inside the
+  * [[vps.geom.GeometryUDT]]; pure-math expressions (tile/cell ids) get real
+  * codegen, JTS-heavy ones use CodegenFallback (the JTS call dominates).
+  */
+object GeomOps {
+  // static helpers callable from generated Java
+  def point(lon: Double, lat: Double): Array[Byte] = Wkb.write(Geo.point(lon, lat))
+}
+
+case class StPoint(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = GeometryUDT
+  override def nullSafeEval(lon: Any, lat: Any): Any =
+    GeomOps.point(lon.asInstanceOf[Double], lat.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+case class StGeomFromWkt(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = GeometryUDT
+  override def nullSafeEval(s: Any): Any =
+    try Wkb.write(Wkt.read(s.asInstanceOf[UTF8String].toString)) catch { case _: Exception => null }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class StAsText(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(b: Any): Any =
+    UTF8String.fromString(Wkt.write(Wkb.read(b.asInstanceOf[Array[Byte]])))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class StGeomFromWkb(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = GeometryUDT
+  override def nullSafeEval(b: Any): Any = b // WKB is the storage format; validate lazily
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class StAsWkb(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(b: Any): Any = b
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+abstract class GeomUnary extends UnaryExpression with CodegenFallback {
+  protected def evalGeom(g: Geometry): Any
+  override def nullSafeEval(b: Any): Any = evalGeom(Wkb.read(b.asInstanceOf[Array[Byte]]))
+}
+
+case class StX(child: Expression) extends GeomUnary {
+  override def dataType: DataType = DoubleType
+  override protected def evalGeom(g: Geometry): Any = g.getCoordinate.x
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StY(child: Expression) extends GeomUnary {
+  override def dataType: DataType = DoubleType
+  override protected def evalGeom(g: Geometry): Any = g.getCoordinate.y
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StArea(child: Expression) extends GeomUnary {
+  override def dataType: DataType = DoubleType
+  override protected def evalGeom(g: Geometry): Any = g.getArea
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StLength(child: Expression) extends GeomUnary {
+  override def dataType: DataType = DoubleType
+  override protected def evalGeom(g: Geometry): Any = g.getLength
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StNumPoints(child: Expression) extends GeomUnary {
+  override def dataType: DataType = IntegerType
+  override protected def evalGeom(g: Geometry): Any = g.getNumPoints
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StCentroid(child: Expression) extends GeomUnary {
+  override def dataType: DataType = GeometryUDT
+  override protected def evalGeom(g: Geometry): Any = Wkb.write(g.getCentroid)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StIsEmpty(child: Expression) extends GeomUnary {
+  override def dataType: DataType = BooleanType
+  override protected def evalGeom(g: Geometry): Any = g.isEmpty
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StGeometryType(child: Expression) extends GeomUnary {
+  override def dataType: DataType = StringType
+  override protected def evalGeom(g: Geometry): Any = UTF8String.fromString(g.getGeometryType)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** Closed-form EPSG:4326 -> EPSG:3857 (the reference's st_reprojectGeom defaults). */
+case class StToWebMercator(child: Expression) extends GeomUnary {
+  override def dataType: DataType = GeometryUDT
+  override protected def evalGeom(g: Geometry): Any = {
+    val copy = g.copy()
+    copy.apply(new org.locationtech.jts.geom.CoordinateFilter {
+      override def filter(c: org.locationtech.jts.geom.Coordinate): Unit = {
+        val x = TileMath.lonToMercX(c.x); val y = TileMath.latToMercY(c.y)
+        c.x = x; c.y = y
+      }
+    })
+    copy.geometryChanged()
+    Wkb.write(copy)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class StToLonLat(child: Expression) extends GeomUnary {
+  override def dataType: DataType = GeometryUDT
+  override protected def evalGeom(g: Geometry): Any = {
+    val copy = g.copy()
+    copy.apply(new org.locationtech.jts.geom.CoordinateFilter {
+      override def filter(c: org.locationtech.jts.geom.Coordinate): Unit = {
+        val x = TileMath.mercXToLon(c.x); val y = TileMath.mercYToLat(c.y)
+        c.x = x; c.y = y
+      }
+    })
+    copy.geometryChanged()
+    Wkb.write(copy)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+abstract class GeomBinaryPredicate extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  protected def test(a: Geometry, b: Geometry): Boolean
+  override def nullSafeEval(a: Any, b: Any): Any =
+    test(Wkb.read(a.asInstanceOf[Array[Byte]]), Wkb.read(b.asInstanceOf[Array[Byte]]))
+}
+
+case class StContains(left: Expression, right: Expression) extends GeomBinaryPredicate {
+  override protected def test(a: Geometry, b: Geometry): Boolean = a.contains(b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StIntersects(left: Expression, right: Expression) extends GeomBinaryPredicate {
+  override protected def test(a: Geometry, b: Geometry): Boolean = a.intersects(b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StWithin(left: Expression, right: Expression) extends GeomBinaryPredicate {
+  override protected def test(a: Geometry, b: Geometry): Boolean = a.within(b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StDistance(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Wkb.read(a.asInstanceOf[Array[Byte]]).distance(Wkb.read(b.asInstanceOf[Array[Byte]]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+// ---------- tile / cell math (codegen'd: pure arithmetic hot path) ----------
+
+case class TileXOf(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(lon: Any, z: Any): Any =
+    TileMath.tileX(lon.asInstanceOf[Double], z.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lon, z) => s"vps.geom.TileMath.tileX($lon, $z)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+case class TileYOf(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(lat: Any, z: Any): Any =
+    TileMath.tileY(lat.asInstanceOf[Double], z.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lat, z) => s"vps.geom.TileMath.tileY($lat, $z)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** H3/S2-style cell id of a lon/lat at a level — codegen'd Z-order packing. */
+case class CellAt(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(lon: Any, lat: Any, lvl: Any): Any =
+    CellId.fromLonLat(lon.asInstanceOf[Double], lat.asInstanceOf[Double], lvl.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lon, lat, lvl) => s"vps.geom.CellId.fromLonLat($lon, $lat, $lvl)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(f, s, t)
+}
+
+case class CellParent(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(cell: Any, lvl: Any): Any =
+    CellId.parent(cell.asInstanceOf[Long], lvl.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, l) => s"vps.geom.CellId.parent($c, $l)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+case class CellKRing(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(cell: Any, k: Any): Any =
+    new GenericArrayData(CellId.kRing(cell.asInstanceOf[Long], k.asInstanceOf[Int]).toArray)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+object TileKeysOf {
+  val elementType: StructType =
+    StructType(Seq(StructField("x", IntegerType, nullable = false),
+      StructField("y", IntegerType, nullable = false)))
+}
+
+/** All ZXY keys whose tile intersects the geometry envelope (reference `keyTo`). */
+case class TileKeysOf(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(TileKeysOf.elementType, containsNull = false)
+  override def nullSafeEval(b: Any, z: Any): Any = {
+    val keys = TileMath.keysForGeometry(Wkb.read(b.asInstanceOf[Array[Byte]]), z.asInstanceOf[Int])
+    new GenericArrayData(keys.map { case (x, y) => InternalRow(x, y) }.toArray)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** Parent-tile re-key helper (reference `reduceKeys`): (x,y) -> (x/2, y/2). */
+case class ParentTileKeys(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(TileKeysOf.elementType, containsNull = false)
+  override def nullSafeEval(arr: Any): Any = {
+    val a = arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val seen = scala.collection.mutable.LinkedHashSet.empty[(Int, Int)]
+    (0 until a.numElements).foreach { i =>
+      val r = a.getStruct(i, 2)
+      seen += ((r.getInt(0) / 2, r.getInt(1) / 2))
+    }
+    new GenericArrayData(seen.map { case (x, y) => InternalRow(x, y) }.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** Dimension-preserving clip of a lon/lat geometry to tile (z, x, y). */
+case class StClipToTile(first: Expression, second: Expression, third: Expression, fourth: Expression)
+    extends QuaternaryExpression with CodegenFallback {
+  override def dataType: DataType = GeometryUDT
+  override def nullSafeEval(b: Any, z: Any, x: Any, y: Any): Any = {
+    val env = TileMath.tileEnvelopeLatLng(z.asInstanceOf[Int], x.asInstanceOf[Int], y.asInstanceOf[Int])
+    Wkb.write(Clip(Wkb.read(b.asInstanceOf[Array[Byte]]), env))
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression = copy(f, s, t, q)
+}
+
+case class StSimplify(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = GeometryUDT
+  override def nullSafeEval(b: Any, tol: Any, preserve: Any): Any = {
+    val g = Wkb.read(b.asInstanceOf[Array[Byte]])
+    val s =
+      if (preserve.asInstanceOf[Boolean]) Simplify.topologyPreserving(g, tol.asInstanceOf[Double])
+      else Simplify.douglasPeucker(g, tol.asInstanceOf[Double])
+    Wkb.write(s)
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(f, s, t)
+}
+
+/** Column-facing API (the engine's `functions._`). */
+object functions {
+  import org.apache.spark.sql.functions.lit
+
+  import org.apache.spark.sql.vps.ColumnBridge
+  private def c(e: Expression): Column = ColumnBridge.column(e)
+  private def ex(col: Column): Expression = ColumnBridge.expression(col)
+
+  def st_point(lon: Column, lat: Column): Column =
+    c(StPoint(ex(lon.cast("double")), ex(lat.cast("double"))))
+  def st_geomFromWKT(wkt: Column): Column = c(StGeomFromWkt(ex(wkt)))
+  def st_geomFromWKB(wkb: Column): Column = c(StGeomFromWkb(ex(wkb)))
+  def st_asText(g: Column): Column = c(StAsText(ex(g)))
+  def st_asWKB(g: Column): Column = c(StAsWkb(ex(g)))
+  def st_x(g: Column): Column = c(StX(ex(g)))
+  def st_y(g: Column): Column = c(StY(ex(g)))
+  def st_area(g: Column): Column = c(StArea(ex(g)))
+  def st_length(g: Column): Column = c(StLength(ex(g)))
+  def st_numPoints(g: Column): Column = c(StNumPoints(ex(g)))
+  def st_centroid(g: Column): Column = c(StCentroid(ex(g)))
+  def st_isEmpty(g: Column): Column = c(StIsEmpty(ex(g)))
+  def st_geometryType(g: Column): Column = c(StGeometryType(ex(g)))
+  def st_toWebMercator(g: Column): Column = c(StToWebMercator(ex(g)))
+  def st_toLonLat(g: Column): Column = c(StToLonLat(ex(g)))
+  def st_contains(a: Column, b: Column): Column = c(StContains(ex(a), ex(b)))
+  def st_intersects(a: Column, b: Column): Column = c(StIntersects(ex(a), ex(b)))
+  def st_within(a: Column, b: Column): Column = c(StWithin(ex(a), ex(b)))
+  def st_distance(a: Column, b: Column): Column = c(StDistance(ex(a), ex(b)))
+  def tile_x(lon: Column, zoom: Column): Column = c(TileXOf(ex(lon.cast("double")), ex(zoom.cast("int"))))
+  def tile_y(lat: Column, zoom: Column): Column = c(TileYOf(ex(lat.cast("double")), ex(zoom.cast("int"))))
+  def tile_x(lon: Column, zoom: Int): Column = tile_x(lon, lit(zoom))
+  def tile_y(lat: Column, zoom: Int): Column = tile_y(lat, lit(zoom))
+  def cell_at(lon: Column, lat: Column, level: Int): Column =
+    c(CellAt(ex(lon.cast("double")), ex(lat.cast("double")), ex(lit(level))))
+  def cell_parent(cell: Column, level: Int): Column = c(CellParent(ex(cell), ex(lit(level))))
+  def cell_kring(cell: Column, k: Column): Column = c(CellKRing(ex(cell), ex(k)))
+  def cell_kring(cell: Column, k: Int): Column = cell_kring(cell, lit(k))
+  def tile_keys(g: Column, zoom: Column): Column = c(TileKeysOf(ex(g), ex(zoom)))
+  def tile_keys(g: Column, zoom: Int): Column = tile_keys(g, lit(zoom))
+  def parent_tile_keys(keys: Column): Column = c(ParentTileKeys(ex(keys)))
+  def st_clipToTile(g: Column, z: Column, x: Column, y: Column): Column =
+    c(StClipToTile(ex(g), ex(z), ex(x), ex(y)))
+  def st_simplify(g: Column, tolerance: Column, preserveTopology: Boolean = true): Column =
+    c(StSimplify(ex(g), ex(tolerance), ex(lit(preserveTopology))))
+
+  /** Register SQL names so `spark.sql("SELECT st_point(...)")` works. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def r(name: String, f: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, f, "scala_udf")
+    r("st_point", e => StPoint(e(0), e(1)))
+    r("st_geomfromwkt", e => StGeomFromWkt(e(0)))
+    r("st_astext", e => StAsText(e(0)))
+    r("st_x", e => StX(e(0)))
+    r("st_y", e => StY(e(0)))
+    r("st_area", e => StArea(e(0)))
+    r("st_contains", e => StContains(e(0), e(1)))
+    r("st_intersects", e => StIntersects(e(0), e(1)))
+    r("st_distance", e => StDistance(e(0), e(1)))
+    r("tile_x", e => TileXOf(e(0), e(1)))
+    r("tile_y", e => TileYOf(e(0), e(1)))
+    r("cell_at", e => CellAt(e(0), e(1), e(2)))
+    r("cell_kring", e => CellKRing(e(0), e(1)))
+    r("tile_keys", e => TileKeysOf(e(0), e(1)))
+  }
+}

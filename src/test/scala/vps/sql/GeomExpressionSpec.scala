@@ -1,0 +1,112 @@
+package vps.sql
+
+import org.scalatest.funsuite.AnyFunSuite
+import vps.SparkTestSession
+import vps.geom.{CellId, TileMath}
+import vps.sql.functions._
+
+class GeomExpressionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("st_point / st_x / st_y / st_asText round trip through a plan") {
+    val df = Seq((12.5, -33.25)).toDF("lon", "lat")
+      .select(st_point($"lon", $"lat").as("g"))
+    val (x, y, wkt) = df.select(st_x($"g"), st_y($"g"), st_asText($"g"))
+      .as[(Double, Double, String)].head()
+    assert(x === 12.5 && y === -33.25)
+    assert(wkt === "POINT (12.5 -33.25)")
+  }
+
+  test("st_geomFromWKT handles polygons and bad input") {
+    val df = Seq("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))", "garbage").toDF("wkt")
+      .select(st_geomFromWKT($"wkt").as("g"))
+    val rows = df.select(st_area($"g"), $"g".isNull).as[(Option[Double], Boolean)].collect()
+    assert(rows(0) === ((Some(16.0), false)))
+    assert(rows(1)._2 === true)
+  }
+
+  test("tile_x / tile_y / cell_at agree with the Scala kernels and codegen") {
+    val df = spark.range(0, 1000).select(
+      (rand(7) * 340 - 170).as("lon"),
+      (rand(11) * 160 - 80).as("lat"))
+    val bad = df.select($"lon", $"lat",
+      tile_x($"lon", 12).as("tx"), tile_y($"lat", 12).as("ty"),
+      cell_at($"lon", $"lat", 12).as("cell"))
+      .as[(Double, Double, Int, Int, Long)]
+      .collect()
+      .count { case (lon, lat, tx, ty, cell) =>
+        tx != TileMath.tileX(lon, 12) || ty != TileMath.tileY(lat, 12) ||
+          cell != CellId.fromLonLat(lon, lat, 12)
+      }
+    assert(bad === 0)
+  }
+
+  test("tile_keys explodes to covering keys; parent_tile_keys halves") {
+    val df = Seq("POLYGON ((-1 -1, 1 -1, 1 1, -1 1, -1 -1))").toDF("wkt")
+      .select(st_geomFromWKT($"wkt").as("g"))
+    val keys = df.select(explode(tile_keys($"g", 8)).as("k"))
+      .select($"k.x", $"k.y").as[(Int, Int)].collect().toSet
+    assert(keys === Set((127, 127), (127, 128), (128, 127), (128, 128)))
+    val parents = df.select(explode(parent_tile_keys(tile_keys($"g", 8))).as("k"))
+      .select($"k.x", $"k.y").as[(Int, Int)].collect().toSet
+    assert(parents === Set((63, 63), (63, 64), (64, 63), (64, 64)))
+  }
+
+  test("cell_kring and cell_parent") {
+    val df = Seq((10.0, 45.0)).toDF("lon", "lat")
+      .select(cell_at($"lon", $"lat", 12).as("c"))
+    val n = df.select(explode(cell_kring($"c", 2))).count()
+    assert(n === 25)
+    val (c, p) = df.select($"c", cell_parent($"c", 8)).as[(Long, Long)].head()
+    assert(CellId.level(p) === 8 && CellId.x(p) === CellId.x(c) >> 4)
+  }
+
+  test("st_contains / st_intersects / st_distance") {
+    val df = Seq((
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))", "POINT (5 5)", "POINT (20 5)"))
+      .toDF("poly", "inside", "outside")
+      .select(st_geomFromWKT($"poly").as("poly"),
+        st_geomFromWKT($"inside").as("in"), st_geomFromWKT($"outside").as("out"))
+    val (cIn, cOut, d) = df.select(
+      st_contains($"poly", $"in"), st_contains($"poly", $"out"),
+      st_distance($"poly", $"out")).as[(Boolean, Boolean, Double)].head()
+    assert(cIn && !cOut && d === 10.0)
+  }
+
+  test("st_clipToTile and st_simplify inside a plan") {
+    val z = 8; val x = 128; val y = 128
+    val env = TileMath.tileEnvelopeLatLng(z, x, y)
+    // a horizontal line crossing the whole tile at mid-height
+    val midLat = (env.getMinY + env.getMaxY) / 2
+    val wkt = s"LINESTRING (-10 $midLat, 10 $midLat)"
+    val df = Seq(wkt).toDF("wkt").select(st_geomFromWKT($"wkt").as("g"))
+    val clipped = df.select(st_asText(st_clipToTile($"g", lit(z), lit(x), lit(y)))).as[String].head()
+    assert(clipped.startsWith("LINESTRING"))
+    assert(clipped.contains("0 ")) // starts at tile west edge lon=0
+    val simp = df.select(st_numPoints(st_simplify($"g", lit(0.1)))).as[Int].head()
+    assert(simp === 2)
+  }
+
+  test("SQL registration works") {
+    vps.sql.functions.register(spark)
+    val r = spark.sql(
+      "SELECT tile_x(CAST(-0.1277 AS DOUBLE), 12) AS x, tile_y(CAST(51.5074 AS DOUBLE), 12) AS y, " +
+        "st_astext(st_point(CAST(1.5 AS DOUBLE), CAST(2.5 AS DOUBLE))) AS p")
+      .as[(Int, Int, String)].head()
+    assert(r === ((2046, 1362, "POINT (1.5 2.5)")))
+  }
+
+  test("reprojection closed forms") {
+    val df = Seq("POINT (10 45)").toDF("wkt").select(st_geomFromWKT($"wkt").as("g"))
+    val (mx, my) = df.select(st_x(st_toWebMercator($"g")), st_y(st_toWebMercator($"g")))
+      .as[(Double, Double)].head()
+    assert(math.abs(mx - TileMath.lonToMercX(10)) < 1e-6)
+    assert(math.abs(my - TileMath.latToMercY(45)) < 1e-6)
+    val (lon, lat) = df.select(
+      st_x(st_toLonLat(st_toWebMercator($"g"))), st_y(st_toLonLat(st_toWebMercator($"g"))))
+      .as[(Double, Double)].head()
+    assert(math.abs(lon - 10) < 1e-9 && math.abs(lat - 45) < 1e-9)
+  }
+}
