@@ -1,0 +1,113 @@
+package vps.docs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The engine's input table (north rule / input_hint):
+  * `(doc_id: string, spans: array<struct<kind:string, text:string, media_ref:string, offset:int>>)`
+  * — interleaved text + geo + media spans per document.
+  *
+  * Built deterministically from the driver's `documents.parquet` with pure
+  * column arithmetic so every derived value is reproducible in ANSI SQL
+  * (the DuckDB oracle recomputes the same lon/lat formulas).
+  *
+  * Span layout per doc (id = numeric doc_id):
+  *   offset 0: kind='text'  text = documents.text
+  *   offset 1: kind='geo'   text = 'POINT (<lon> <lat>)'
+  *              lon = (id*9973  % 3600000)/10000.0 - 180.0
+  *              lat = (id*6151  % 1600000)/10000.0 -  80.0
+  *   offset 2: kind='image' media_ref = 'img://<id>'
+  *   offset 3 (id % 3 == 0): kind='geo' second point
+  *              lon2 = ((id*7919 + 104729) % 3600000)/10000.0 - 180.0
+  *              lat2 = ((id*4093 + 15485)  % 1600000)/10000.0 -  80.0
+  */
+object InterleavedDocs {
+
+  def lonExpr(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (id * 9973L % 3600000L) / 10000.0 - 180.0
+  def latExpr(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (id * 6151L % 1600000L) / 10000.0 - 80.0
+  def lon2Expr(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    ((id * 7919L + 104729L) % 3600000L) / 10000.0 - 180.0
+  def lat2Expr(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    ((id * 4093L + 15485L) % 1600000L) / 10000.0 - 80.0
+
+  /** SQL fragments for the DuckDB oracle (identical formulas). */
+  val lonSql = "(doc_id * 9973 % 3600000) / 10000.0 - 180.0"
+  val latSql = "(doc_id * 6151 % 1600000) / 10000.0 - 80.0"
+  val lon2Sql = "((doc_id * 7919 + 104729) % 3600000) / 10000.0 - 180.0"
+  val lat2Sql = "((doc_id * 4093 + 15485) % 1600000) / 10000.0 - 80.0"
+
+  private def span(kind: String, text: org.apache.spark.sql.Column,
+      mediaRef: org.apache.spark.sql.Column, offset: Int) =
+    struct(lit(kind).as("kind"), text.as("text"), mediaRef.as("media_ref"), lit(offset).as("offset"))
+
+  private def wktPoint(lon: org.apache.spark.sql.Column, lat: org.apache.spark.sql.Column) =
+    concat(lit("POINT ("), lon.cast("string"), lit(" "), lat.cast("string"), lit(")"))
+
+  /** Interleaved docs derived from `<sfDir>/documents.parquet`.
+    *
+    * `replication` > 1 scales the table for benchmarks: copy r of doc d gets
+    * id = d * replication + r (still deterministic). Column `id` (numeric) is
+    * kept alongside the string `doc_id` for joins; drop it for the pure shape.
+    */
+  def fromDocuments(spark: SparkSession, sfDir: String, replication: Int = 1): DataFrame = {
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    val replicated =
+      if (replication == 1) base.withColumn("id", col("doc_id").cast("long"))
+      else base
+        .withColumn("r", explode(lit((0 until replication).toArray)))
+        .withColumn("id", col("doc_id").cast("long") * replication + col("r"))
+        .drop("r")
+    val nullStr = lit(null).cast("string")
+    replicated.select(
+      concat(lit("doc"), col("id")).as("doc_id"),
+      col("id"),
+      when(col("id") % 3 === 0,
+        array(
+          span("text", col("text"), nullStr, 0),
+          span("geo", wktPoint(lonExpr(col("id")), latExpr(col("id"))), nullStr, 1),
+          span("image", nullStr, concat(lit("img://"), col("id")), 2),
+          span("geo", wktPoint(lon2Expr(col("id")), lat2Expr(col("id"))), nullStr, 3)))
+        .otherwise(
+          array(
+            span("text", col("text"), nullStr, 0),
+            span("geo", wktPoint(lonExpr(col("id")), latExpr(col("id"))), nullStr, 1),
+            span("image", nullStr, concat(lit("img://"), col("id")), 2)))
+        .as("spans"))
+  }
+
+  /** Explode geo spans to one row per geometry: (doc_id, id, span_offset, geom).
+    * Span order inside a doc is recoverable from span_offset (G6; the explode
+    * itself preserves array order, but downstream shuffles may not — offset is
+    * the durable order key).
+    */
+  def extractGeoSpans(docs: DataFrame): DataFrame = {
+    import vps.sql.functions.st_geomFromWKT
+    docs
+      .select(col("doc_id"), col("id"), posexplode(col("spans")).as(Seq("pos", "span")))
+      .where(col("span.kind") === "geo")
+      .select(
+        col("doc_id"), col("id"),
+        col("span.offset").as("span_offset"),
+        st_geomFromWKT(col("span.text")).as("geom"))
+  }
+
+  /** Text spans only: (doc_id, id, span_offset, text). */
+  def extractTextSpans(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("id"), explode(col("spans")).as("span"))
+      .where(col("span.kind") === "text")
+      .select(col("doc_id"), col("id"), col("span.offset").as("span_offset"),
+        col("span.text").as("text"))
+
+  /** Canonical fingerprint of the per-row span sequence (kind, text, media_ref,
+    * order) — equality of this fingerprint before/after a transform is the
+    * north-rule invariant check.
+    */
+  def spanFingerprint(spans: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sha2(to_json(array_sort(spans, (a, b) =>
+      when(a.getField("offset") < b.getField("offset"), -1)
+        .when(a.getField("offset") > b.getField("offset"), 1)
+        .otherwise(0))), 256)
+}

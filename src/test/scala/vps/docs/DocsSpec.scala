@@ -1,0 +1,84 @@
+package vps.docs
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import vps.SparkTestSession
+
+class DocsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("interleaved docs shape matches the input_hint schema") {
+    val docs = InterleavedDocs.fromDocuments(spark, sfDir)
+    val schema = docs.drop("id").schema
+    assert(schema.fieldNames.toSeq === Seq("doc_id", "spans"))
+    assert(schema("doc_id").dataType.typeName === "string")
+    val elem = schema("spans").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(elem.fieldNames.toSeq === Seq("kind", "text", "media_ref", "offset"))
+    assert(docs.count() === 500)
+  }
+
+  test("span derivation is deterministic and geo spans parse") {
+    val docs = InterleavedDocs.fromDocuments(spark, sfDir)
+    val geo = InterleavedDocs.extractGeoSpans(docs)
+    // every doc has 1 geo span + every third doc one more
+    assert(geo.count() === 500 + (500 + 2) / 3)
+    // id=0: lon = -180.0, lat = -80.0
+    import vps.sql.functions.{st_x, st_y}
+    val r0 = geo.where($"id" === 0 && $"span_offset" === 1)
+      .select(st_x($"geom"), st_y($"geom")).as[(Double, Double)].head()
+    assert(r0 === ((-180.0, -80.0)))
+    // id=7: lon = (7*9973 % 3600000)/1e4 - 180
+    val r7 = geo.where($"id" === 7 && $"span_offset" === 1)
+      .select(st_x($"geom")).as[Double].head()
+    assert(math.abs(r7 - ((7L * 9973 % 3600000) / 10000.0 - 180.0)) < 1e-12)
+    // derivation is pure: same result on re-read
+    val again = InterleavedDocs.extractGeoSpans(InterleavedDocs.fromDocuments(spark, sfDir))
+    assert(again.select("doc_id", "span_offset").except(geo.select("doc_id", "span_offset")).count() === 0)
+  }
+
+  test("replication scales row count with distinct ids") {
+    val docs = InterleavedDocs.fromDocuments(spark, sfDir, replication = 4)
+    assert(docs.count() === 2000)
+    assert(docs.select("id").distinct().count() === 2000)
+  }
+
+  test("span-sequence invariant: fingerprint survives repartition/filter/join") {
+    val docs = InterleavedDocs.fromDocuments(spark, sfDir).cache()
+    val before = docs.select($"doc_id", InterleavedDocs.spanFingerprint($"spans").as("fp"))
+    // a shuffle-heavy pipeline that must not disturb span content/order
+    val after = docs
+      .repartition(8, $"doc_id")
+      .where(length($"doc_id") > 3)
+      .join(docs.select($"doc_id").distinct(), Seq("doc_id"))
+      .select($"doc_id", InterleavedDocs.spanFingerprint($"spans").as("fp"))
+    val joined = before.as("b").join(after.as("a"), "doc_id")
+      .where($"b.fp" =!= $"a.fp")
+    assert(joined.count() === 0)
+    assert(after.count() === before.count())
+    docs.unpersist()
+  }
+
+  test("snapshot table: write/read/manifest/time-travel/atomic commit") {
+    val dir = java.nio.file.Files.createTempDirectory("snaptest").toString
+    val docs = InterleavedDocs.fromDocuments(spark, sfDir).repartition(3)
+    val s1 = SnapshotTable.write(docs, dir)
+    assert(s1 === 1L)
+    val snap = SnapshotTable.snapshot(spark, dir, s1)
+    assert(snap.totalRows === 500)
+    assert(snap.files.nonEmpty && snap.files.forall(_.bytes > 0))
+    // read returns exactly the manifest-listed data
+    assert(SnapshotTable.read(spark, dir).count() === 500)
+    // second snapshot appends; old snapshot still readable (time travel)
+    val s2 = SnapshotTable.write(docs.limit(10), dir)
+    assert(s2 === 2L)
+    assert(SnapshotTable.read(spark, dir).count() === 10)
+    assert(SnapshotTable.read(spark, dir, Some(1L)).count() === 500)
+    // a stray uncommitted file in data/ must NOT be visible (manifest-driven read)
+    val stray = new java.io.File(s"$dir/data/snap-2/stray.parquet.crc")
+    stray.createNewFile()
+    assert(SnapshotTable.read(spark, dir).count() === 10)
+  }
+}
