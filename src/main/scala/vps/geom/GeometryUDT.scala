@@ -28,7 +28,12 @@ class GeometryUDT extends UserDefinedType[Geometry] {
   override def hashCode(): Int = classOf[GeometryUDT].getName.hashCode
 }
 
-case object GeometryUDT extends GeometryUDT
+object GeometryUDT {
+  /** Schema-embeddable instance: must be the plain class (codegen reconstructs
+    * the UDT by class name and chokes on the `object`'s `$` class).
+    */
+  val Instance: GeometryUDT = new GeometryUDT
+}
 
 /** Thread-local WKB/WKT codecs (JTS readers/writers are not thread-safe). */
 object Wkb {

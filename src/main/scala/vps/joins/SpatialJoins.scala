@@ -1,0 +1,226 @@
+package vps.joins
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.locationtech.jts.geom.{Envelope, Geometry}
+import org.locationtech.jts.geom.prep.{PreparedGeometry, PreparedGeometryFactory}
+import org.locationtech.jts.index.strtree.STRtree
+
+import vps.geom.Wkb
+import vps.sql.functions._
+
+/** Native spatial joins (SURVEY.md §2.3 J9/J10).
+  *
+  * Two point-in-polygon strategies, chosen by the caller by polygon-side size:
+  * - [[pipBroadcast]]: small polygon side — STRtree + prepared geometries built
+  *   once per executor from a broadcast, streamed probe (no shuffle at all).
+  *   This is the reference's Geocode pattern (`util/Geocode.scala:61-106`) kept
+  *   inside the Dataset API.
+  * - [[pipCellJoin]]: large-large — both sides keyed by Z-order cell at a level,
+  *   plain equi-join (hash/SMJ + AQE) with an exact `st_contains` refine. This is
+  *   the 100 TB path: shuffle is by cell id, skew handled by AQE skew-join.
+  */
+object SpatialJoins {
+
+  /** points ⋈ polygons on containment; polygon side broadcast.
+    *
+    * @param points df with a geometry column `pointCol`
+    * @param polygons df with (polyIdCol: long, geometry `polyCol`)
+    * @return points columns + `poly_id` (inner join semantics, one row per
+    *         containing polygon)
+    */
+  def pipBroadcast(
+      points: DataFrame,
+      polygons: DataFrame,
+      pointCol: String = "geom",
+      polyCol: String = "geom",
+      polyIdCol: String = "poly_id"): DataFrame = {
+    val spark = points.sparkSession
+    val polys: Array[(Long, Array[Byte])] = polygons
+      .select(col(polyIdCol).cast("long"), st_asWKB(col(polyCol)))
+      .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .collect()
+    val bc = spark.sparkContext.broadcast(polys)
+
+    val outSchema = StructType(points.schema.fields :+ StructField("poly_id", LongType, nullable = false))
+    val pointIdx = points.schema.fieldIndex(pointCol)
+
+    points.mapPartitions { rows =>
+      // build the index once per task from the broadcast
+      val index = new STRtree()
+      val prepared = new java.util.ArrayList[(Long, PreparedGeometry)]()
+      val pf = new PreparedGeometryFactory
+      bc.value.foreach { case (id, wkb) =>
+        val g = Wkb.read(wkb)
+        val pg = pf.create(g)
+        val slot = (id, pg)
+        prepared.add(slot)
+        index.insert(g.getEnvelopeInternal, slot)
+      }
+      rows.flatMap { row =>
+        // UDT columns arrive deserialized (external Row) as JTS geometries
+        val pt = row.getAs[Geometry](pointIdx)
+        if (pt == null) Iterator.empty
+        else {
+          val hits = index.query(pt.getEnvelopeInternal).iterator()
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          while (hits.hasNext) {
+            val (id, pg) = hits.next().asInstanceOf[(Long, PreparedGeometry)]
+            if (pg.intersects(pt)) out += Row.fromSeq(row.toSeq :+ id)
+          }
+          out.iterator
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Large-large point-in-polygon as a cell-id equi-join + exact refine.
+    * Both sides shuffle once on the cell key; no N×M comparisons.
+    */
+  def pipCellJoin(
+      points: DataFrame,
+      polygons: DataFrame,
+      level: Int,
+      pointCol: String = "geom",
+      polyCol: String = "geom",
+      polyIdCol: String = "poly_id"): DataFrame = {
+    val pts = points.withColumn("_cell",
+      vps.sql.functions.cell_at(st_x(col(pointCol)), st_y(col(pointCol)), level))
+    val pls = polygons
+      .select(col(polyIdCol).as("poly_id"), col(polyCol).as("_poly_geom"))
+      .withColumn("_cell", explode(cells_of(col("_poly_geom"), level)))
+    pts.join(pls, Seq("_cell"))
+      .where(st_contains(col("_poly_geom"), col(pointCol)) ||
+        st_intersects(col("_poly_geom"), col(pointCol)))
+      .drop("_cell", "_poly_geom")
+  }
+
+  /** Exact kNN join: for each query point, the k nearest data points by
+    * Euclidean distance (plus id tiebreak for determinism).
+    *
+    * Strategy: broadcast the (small) query side; each partition of `points`
+    * emits at most k candidates per query (local top-k via bounded heap), then a
+    * single window pass takes the global top-k. Shuffle volume is
+    * O(#queries * k * #partitions), independent of |points|.
+    */
+  def knnBroadcast(
+      points: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      pointIdCol: String = "id",
+      pointGeomCol: String = "geom",
+      queryIdCol: String = "query_id",
+      queryGeomCol: String = "geom"): DataFrame = {
+    val spark = points.sparkSession
+    val qs: Array[(Long, Array[Byte])] = queries
+      .select(col(queryIdCol).cast("long"), st_asWKB(col(queryGeomCol)))
+      .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .collect()
+    val bc = spark.sparkContext.broadcast(qs)
+
+    val geomIdx = points.schema.fieldIndex(pointGeomCol)
+    val idIdx = points.schema.fieldIndex(pointIdCol)
+
+    val candSchema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("neighbor_id", LongType, nullable = false),
+      StructField("dist", org.apache.spark.sql.types.DoubleType, nullable = false)))
+
+    val candidates = points.mapPartitions { rows =>
+      val queries = bc.value.map { case (id, wkb) => (id, Wkb.read(wkb).getCoordinate) }
+      // per-query bounded max-heap of (dist, id)
+      val heaps = queries.map { case (qid, _) =>
+        qid -> new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+          Ordering.by[(Double, Long), (Double, Long)](identity))
+      }.toMap
+      rows.foreach { row =>
+        val g = row.getAs[Geometry](geomIdx)
+        if (g != null) {
+          val c = g.getCoordinate
+          val pid = row.getLong(idIdx)
+          queries.foreach { case (qid, qc) =>
+            val dx = c.x - qc.x; val dy = c.y - qc.y
+            val d = math.sqrt(dx * dx + dy * dy)
+            val h = heaps(qid)
+            if (h.size < k) h.enqueue((d, pid))
+            else if (Ordering.Tuple2[Double, Long].lt((d, pid), h.head)) { h.dequeue(); h.enqueue((d, pid)) }
+          }
+        }
+      }
+      heaps.iterator.flatMap { case (qid, h) => h.iterator.map { case (d, pid) => Row(qid, pid, d) } }
+    }(Encoders.row(candSchema))
+
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("neighbor_id"))
+    candidates
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Cell-pruned kNN: candidates restricted to the k-ring of the query cell,
+    * exact refine + top-k inside. `ring` must be sized so the true neighbors
+    * fall inside (guaranteed when k-ring covers radius >= kth distance);
+    * callers verify or fall back to [[knnBroadcast]].
+    */
+  def knnCellJoin(
+      points: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      level: Int,
+      ring: Int,
+      pointIdCol: String = "id",
+      pointGeomCol: String = "geom",
+      queryIdCol: String = "query_id",
+      queryGeomCol: String = "geom"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = points.select(
+      col(pointIdCol).cast("long").as("neighbor_id"),
+      col(pointGeomCol).as("_pg"),
+      cell_at(st_x(col(pointGeomCol)), st_y(col(pointGeomCol)), level).as("_cell"))
+    val qs = queries.select(
+      col(queryIdCol).cast("long").as("query_id"),
+      col(queryGeomCol).as("_qg"),
+      explode(cell_kring(
+        cell_at(st_x(col(queryGeomCol)), st_y(col(queryGeomCol)), level), ring)).as("_cell"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("neighbor_id"))
+    qs.join(pts, Seq("_cell"))
+      .withColumn("dist", st_distance(col("_qg"), col("_pg")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .drop("_cell", "_qg", "_pg")
+  }
+
+  /** Point-in-time (as-of range) join: equi keys + `validFrom <= t < validUntil`
+    * with null validUntil = still valid — the reference's J2/J4 residual pattern
+    * (`internal/package.scala:236-240`).
+    */
+  def asofRangeJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: Column,
+      rightValidFrom: Column,
+      rightValidUntil: Column): DataFrame =
+    left.join(right, keys)
+      .where(rightValidFrom <= leftTime &&
+        (rightValidUntil.isNull || leftTime < rightValidUntil))
+
+  /** As-of latest join: for each left row, the single latest right row with
+    * rightTime <= leftTime (per key). Implemented as equi-join + window top-1.
+    */
+  def asofLatestJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTimeCol: String,
+      rightTimeCol: String,
+      leftIdCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = left.join(right, keys)
+      .where(col(rightTimeCol) <= col(leftTimeCol))
+    val w = Window.partitionBy(col(leftIdCol)).orderBy(col(rightTimeCol).desc)
+    joined.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+  }
+}

@@ -25,7 +25,7 @@ object GeomOps {
 
 case class StPoint(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
-  override def dataType: DataType = GeometryUDT
+  override def dataType: DataType = GeometryUDT.Instance
   override def nullSafeEval(lon: Any, lat: Any): Any =
     GeomOps.point(lon.asInstanceOf[Double], lat.asInstanceOf[Double])
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
@@ -33,7 +33,7 @@ case class StPoint(left: Expression, right: Expression)
 
 case class StGeomFromWkt(child: Expression)
     extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = GeometryUDT
+  override def dataType: DataType = GeometryUDT.Instance
   override def nullSafeEval(s: Any): Any =
     try Wkb.write(Wkt.read(s.asInstanceOf[UTF8String].toString)) catch { case _: Exception => null }
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
@@ -47,7 +47,7 @@ case class StAsText(child: Expression) extends UnaryExpression with CodegenFallb
 }
 
 case class StGeomFromWkb(child: Expression) extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = GeometryUDT
+  override def dataType: DataType = GeometryUDT.Instance
   override def nullSafeEval(b: Any): Any = b // WKB is the storage format; validate lazily
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
@@ -89,7 +89,7 @@ case class StNumPoints(child: Expression) extends GeomUnary {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 case class StCentroid(child: Expression) extends GeomUnary {
-  override def dataType: DataType = GeometryUDT
+  override def dataType: DataType = GeometryUDT.Instance
   override protected def evalGeom(g: Geometry): Any = Wkb.write(g.getCentroid)
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
@@ -106,7 +106,7 @@ case class StGeometryType(child: Expression) extends GeomUnary {
 
 /** Closed-form EPSG:4326 -> EPSG:3857 (the reference's st_reprojectGeom defaults). */
 case class StToWebMercator(child: Expression) extends GeomUnary {
-  override def dataType: DataType = GeometryUDT
+  override def dataType: DataType = GeometryUDT.Instance
   override protected def evalGeom(g: Geometry): Any = {
     val copy = g.copy()
     copy.apply(new org.locationtech.jts.geom.CoordinateFilter {
@@ -122,7 +122,7 @@ case class StToWebMercator(child: Expression) extends GeomUnary {
 }
 
 case class StToLonLat(child: Expression) extends GeomUnary {
-  override def dataType: DataType = GeometryUDT
+  override def dataType: DataType = GeometryUDT.Instance
   override protected def evalGeom(g: Geometry): Any = {
     val copy = g.copy()
     copy.apply(new org.locationtech.jts.geom.CoordinateFilter {
@@ -251,7 +251,7 @@ case class ParentTileKeys(child: Expression) extends UnaryExpression with Codege
 /** Dimension-preserving clip of a lon/lat geometry to tile (z, x, y). */
 case class StClipToTile(first: Expression, second: Expression, third: Expression, fourth: Expression)
     extends QuaternaryExpression with CodegenFallback {
-  override def dataType: DataType = GeometryUDT
+  override def dataType: DataType = GeometryUDT.Instance
   override def nullSafeEval(b: Any, z: Any, x: Any, y: Any): Any = {
     val env = TileMath.tileEnvelopeLatLng(z.asInstanceOf[Int], x.asInstanceOf[Int], y.asInstanceOf[Int])
     Wkb.write(Clip(Wkb.read(b.asInstanceOf[Array[Byte]]), env))
@@ -262,7 +262,7 @@ case class StClipToTile(first: Expression, second: Expression, third: Expression
 
 case class StSimplify(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with CodegenFallback {
-  override def dataType: DataType = GeometryUDT
+  override def dataType: DataType = GeometryUDT.Instance
   override def nullSafeEval(b: Any, tol: Any, preserve: Any): Any = {
     val g = Wkb.read(b.asInstanceOf[Array[Byte]])
     val s =
@@ -311,6 +311,7 @@ object functions {
   def cell_parent(cell: Column, level: Int): Column = c(CellParent(ex(cell), ex(lit(level))))
   def cell_kring(cell: Column, k: Column): Column = c(CellKRing(ex(cell), ex(k)))
   def cell_kring(cell: Column, k: Int): Column = cell_kring(cell, lit(k))
+  def cells_of(g: Column, level: Int): Column = c(CellsOf(ex(g), ex(lit(level))))
   def tile_keys(g: Column, zoom: Column): Column = c(TileKeysOf(ex(g), ex(zoom)))
   def tile_keys(g: Column, zoom: Int): Column = tile_keys(g, lit(zoom))
   def parent_tile_keys(keys: Column): Column = c(ParentTileKeys(ex(keys)))
@@ -339,4 +340,18 @@ object functions {
     r("cell_kring", e => CellKRing(e(0), e(1)))
     r("tile_keys", e => TileKeysOf(e(0), e(1)))
   }
+}
+
+/** All cell ids at `level` whose tile intersects the geometry envelope —
+  * the polygon-side key generator for cell-partitioned spatial joins.
+  */
+case class CellsOf(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(b: Any, lvl: Any): Any = {
+    val level = lvl.asInstanceOf[Int]
+    val keys = TileMath.keysForGeometry(Wkb.read(b.asInstanceOf[Array[Byte]]), level)
+    new GenericArrayData(keys.map { case (x, y) => CellId.pack(level, x.toLong, y.toLong) }.toArray)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }

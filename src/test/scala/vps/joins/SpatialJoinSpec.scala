@@ -1,0 +1,106 @@
+package vps.joins
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import vps.SparkTestSession
+import vps.docs.InterleavedDocs
+import vps.sql.functions._
+
+class SpatialJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val points = {
+    val docs = InterleavedDocs.fromDocuments(spark, "/root/testdata/sf0.001")
+    InterleavedDocs.extractGeoSpans(docs)
+      .select($"id" * 10 + $"span_offset" as "id", $"geom")
+      .cache()
+  }
+
+  // 40 deterministic boxes + 1 triangle (non-rectangular case)
+  private lazy val polygons = {
+    val boxes = (0 until 40).map { i =>
+      val lon = (i * 97 % 340) - 170.0
+      val lat = (i * 61 % 150) - 75.0
+      (i.toLong, s"POLYGON (($lon $lat, ${lon + 15} $lat, ${lon + 15} ${lat + 12}, $lon ${lat + 12}, $lon $lat))")
+    }
+    val tri = Seq((100L, "POLYGON ((-50 -50, 50 -45, 0 60, -50 -50))"))
+    (boxes ++ tri).toDF("poly_id", "wkt")
+      .select($"poly_id", st_geomFromWKT($"wkt").as("geom"))
+      .cache()
+  }
+
+  private def bruteForcePip(): Set[(Long, Long)] = {
+    val pts = points.select($"id", st_x($"geom"), st_y($"geom")).as[(Long, Double, Double)].collect()
+    val polys = polygons.select($"poly_id", st_asWKB($"geom")).as[(Long, Array[Byte])].collect()
+      .map { case (id, wkb) => (id, vps.geom.Wkb.read(wkb)) }
+    (for {
+      (pid, x, y) <- pts
+      (gid, g) <- polys
+      if g.intersects(vps.geom.Geo.point(x, y))
+    } yield (pid, gid)).toSet
+  }
+
+  test("pipBroadcast matches brute force") {
+    val got = SpatialJoins.pipBroadcast(points, polygons)
+      .select($"id", $"poly_id").as[(Long, Long)].collect().toSet
+    assert(got === bruteForcePip())
+    assert(got.nonEmpty)
+  }
+
+  test("pipCellJoin matches brute force at multiple levels") {
+    Seq(4, 7).foreach { level =>
+      val got = SpatialJoins.pipCellJoin(points, polygons, level)
+        .select($"id", $"poly_id").as[(Long, Long)].collect().toSet
+      assert(got === bruteForcePip(), s"level=$level")
+    }
+  }
+
+  test("knnBroadcast matches brute-force top-k") {
+    val queries = Seq((0L, 10.0, 20.0), (1L, -120.0, -60.0), (2L, 179.0, 79.0))
+      .toDF("query_id", "lon", "lat")
+      .select($"query_id", st_point($"lon", $"lat").as("geom"))
+    val k = 7
+    val got = SpatialJoins.knnBroadcast(points, queries, k)
+      .select($"query_id", $"neighbor_id", $"rank").as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+
+    val pts = points.select($"id", st_x($"geom"), st_y($"geom")).as[(Long, Double, Double)].collect()
+    val qs = Seq((0L, 10.0, 20.0), (1L, -120.0, -60.0), (2L, 179.0, 79.0))
+    qs.foreach { case (qid, qx, qy) =>
+      val expected = pts.map { case (pid, x, y) =>
+        (math.sqrt((x - qx) * (x - qx) + (y - qy) * (y - qy)), pid)
+      }.sortBy(identity).take(k).map(_._2).toSeq
+      assert(got(qid) === expected, s"query $qid")
+    }
+  }
+
+  test("knnCellJoin with generous ring matches exact kNN") {
+    val queries = Seq((0L, 10.0, 20.0)).toDF("query_id", "lon", "lat")
+      .select($"query_id", st_point($"lon", $"lat").as("geom"))
+    // level 3 cells are 45 deg wide; ring 3 covers far beyond the 5-NN radius here
+    val cellBased = SpatialJoins.knnCellJoin(points, queries, k = 5, level = 3, ring = 3)
+      .select($"neighbor_id", $"rank").as[(Long, Int)].collect().sortBy(_._2).map(_._1).toSeq
+    val exact = SpatialJoins.knnBroadcast(points, queries, 5)
+      .select($"neighbor_id", $"rank").as[(Long, Int)].collect().sortBy(_._2).map(_._1).toSeq
+    assert(cellBased === exact)
+  }
+
+  test("asofLatestJoin picks the most recent right row per key") {
+    val left = Seq((1L, 100L, 10L), (2L, 100L, 25L), (3L, 200L, 10L)).toDF("lid", "k", "t")
+    val right = Seq((100L, 5L, "a"), (100L, 20L, "b"), (100L, 30L, "c"), (200L, 50L, "z"))
+      .toDF("k", "rt", "v")
+    val got = SpatialJoins.asofLatestJoin(left, right, Seq("k"), "t", "rt", "lid")
+      .select($"lid", $"v").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "a", 2L -> "b")) // lid=3: no right row <= 10 for key 200
+  }
+
+  test("asofRangeJoin honors [validFrom, validUntil) with null = open") {
+    val left = Seq((1L, 7L, 15L), (2L, 7L, 100L)).toDF("lid", "k", "t")
+    val right = Seq((7L, 10L, Some(20L), "in-window"), (7L, 50L, None, "open"))
+      .toDF("k", "from", "until", "tag")
+    val got = SpatialJoins.asofRangeJoin(left, right, Seq("k"), col("t"), col("from"), col("until"))
+      .select($"lid", $"tag").as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "in-window"), (2L, "open")))
+  }
+}
