@@ -1,0 +1,96 @@
+package vps.tiling
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import vps.SparkTestSession
+import vps.docs.InterleavedDocs
+import vps.geom.TileMath
+import vps.mvt.Mvt
+import vps.sql.functions._
+
+class TilePipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val geoms = {
+    val docs = InterleavedDocs.fromDocuments(spark, "/root/testdata/sf0.001")
+    InterleavedDocs.extractGeoSpans(docs)
+      .select(($"id" * 10 + $"span_offset").as("id"), $"geom")
+      .cache()
+  }
+
+  test("tileZoom produces one tile per covered key with all features, decodable") {
+    val zoom = 4
+    val tiles = TilePipeline.tileZoom(geoms, zoom).collect()
+    // every point appears exactly once (points cover exactly one tile)
+    assert(tiles.map(_.features.toLong).sum === geoms.count())
+    // tile keys match direct computation
+    val expectedKeys = geoms
+      .select(tile_x(st_x($"geom"), zoom).as("x"), tile_y(st_y($"geom"), zoom).as("y"))
+      .distinct().as[(Int, Int)].collect().toSet
+    assert(tiles.map(t => (t.x, t.y)).toSet === expectedKeys)
+    // decodable + feature ids recoverable
+    val t0 = tiles.maxBy(_.features)
+    val decoded = Mvt.decode(t0.mvt)
+    assert(decoded.layers.head.name === "features")
+    assert(decoded.layers.head.features.size === t0.features)
+    assert(decoded.layers.head.version === 2)
+  }
+
+  test("tile bytes are deterministic across runs and salt settings") {
+    val a = TilePipeline.tileZoom(geoms, 5).collect().map(t => (t.x, t.y) -> t.mvt.toSeq).toMap
+    val b = TilePipeline.tileZoom(geoms.repartition(7), 5, TilePipeline.Options(saltBuckets = 3))
+      .collect().map(t => (t.x, t.y) -> t.mvt.toSeq).toMap
+    assert(a.keySet === b.keySet)
+    a.foreach { case (k, bytes) => assert(b(k) === bytes, s"tile $k differs") }
+  }
+
+  test("polygon clipped across tiles: fragments land in each tile, within extent") {
+    val zoom = 6
+    val poly = Seq((1L, "POLYGON ((-10 -10, 10 -10, 10 10, -10 10, -10 -10))")).toDF("id", "wkt")
+      .select($"id", st_geomFromWKT($"wkt").as("geom"))
+    val tiles = TilePipeline.tileZoom(poly, zoom, TilePipeline.Options(simplify = false)).collect()
+    val keys = TileMath.keysForGeometry(vps.geom.Geo.box(-10, -10, 10, 10), zoom).toSet
+    assert(tiles.map(t => (t.x, t.y)).toSet === keys)
+    tiles.foreach { t =>
+      val g = Mvt.decode(t.mvt).layers.head.features.head.geometry
+      val env = g.getEnvelopeInternal
+      assert(env.getMinX >= -1 && env.getMaxX <= 4097, s"tile (${t.x},${t.y}) x-range $env")
+      assert(env.getMinY >= -1 && env.getMaxY <= 4097, s"tile (${t.x},${t.y}) y-range $env")
+    }
+  }
+
+  test("pyramid: parent zoom has same or fewer tiles; totals preserved for points") {
+    val levels = TilePipeline.pyramid(geoms, 2, 4)
+    val counts = levels.map { case (z, ds) =>
+      val ts = ds.collect(); z -> (ts.length, ts.map(_.features.toLong).sum)
+    }.toMap
+    assert(counts(4)._2 === geoms.count())
+    assert(counts(2)._2 === geoms.count())
+    assert(counts(2)._1 <= counts(3)._1 && counts(3)._1 <= counts(4)._1)
+  }
+
+  test("sink writes z/x/y.mvt, lineage commits, resume skips rewrites") {
+    val dir = java.nio.file.Files.createTempDirectory("tilesink").toString
+    val tiles = TilePipeline.tileZoom(geoms, 3).repartition(4)
+    val lineage1 = TileSink.write(tiles, dir)
+    assert(lineage1.map(_.tiles).sum > 0)
+    val sample = lineage1.filter(_.tiles > 0).head
+    // files exist on disk and decode
+    val files = new java.io.File(s"$dir/3").listFiles().flatMap(_.listFiles()).filter(_.getName.endsWith(".mvt"))
+    assert(files.length.toLong === lineage1.map(_.tiles).sum)
+    val bytes = java.nio.file.Files.readAllBytes(files.head.toPath)
+    assert(Mvt.decode(bytes).layers.nonEmpty)
+    // resume: delete one tile file, rerun -> lineage says committed, file NOT rewritten
+    val victim = files.head
+    victim.delete()
+    val lineage2 = TileSink.write(tiles, dir)
+    assert(lineage2.map(_.tiles).sum === lineage1.map(_.tiles).sum) // reported from lineage
+    assert(!victim.exists(), "resume must skip committed partitions")
+    // after clearing lineage, rerun rewrites the missing tile
+    val lineageDir = new java.io.File(s"$dir/_lineage/z3")
+    lineageDir.listFiles().foreach(_.delete())
+    TileSink.write(tiles, dir)
+    assert(victim.exists())
+  }
+}
