@@ -1,0 +1,153 @@
+package vps.ml
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * - [[bruteTopK]]: exact cosine top-k; broadcast queries, per-partition bounded
+  *   heaps, one small shuffle — the correctness baseline and the right choice
+  *   when |queries| is small.
+  * - [[ivfTopK]]: IVF-style scale path — vectors pre-assigned to the nearest of
+  *   C centroids (one cheap pass; centroids deterministic), queries probe the
+  *   nProbe nearest lists only, exact cosine inside. Recall grows with nProbe;
+  *   nProbe = C degenerates to exact.
+  */
+object VectorSearch {
+
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  private val outSchema = StructType(Seq(
+    StructField("query_id", LongType, nullable = false),
+    StructField("neighbor_id", LongType, nullable = false),
+    StructField("cosine", DoubleType, nullable = false)))
+
+  /** Exact top-k by cosine. Output: (query_id, neighbor_id, cosine, rank). */
+  def bruteTopK(
+      vectors: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "embedding"): DataFrame = {
+    val spark = vectors.sparkSession
+    val qs: Array[(Long, Array[Float])] = queries
+      .select(col(queryIdCol).cast("long"), col(queryVecCol))
+      .as[(Long, Array[Float])](Encoders.tuple(Encoders.scalaLong,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]()))
+      .collect()
+    val bc = spark.sparkContext.broadcast(qs)
+    val idIdx = vectors.schema.fieldIndex(idCol)
+    val vecIdx = vectors.schema.fieldIndex(vecCol)
+
+    val candidates = vectors.mapPartitions { rows =>
+      val queries = bc.value
+      val heaps = queries.map { case (qid, _) =>
+        // min-heap on cosine: head = weakest kept candidate
+        qid -> new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+          Ordering.by[(Double, Long), (Double, Long)] { case (c, id) => (-c, id) })
+      }.toMap
+      rows.foreach { row =>
+        val v = row.getSeq[Float](vecIdx).toArray
+        val id = row.getLong(idIdx)
+        queries.foreach { case (qid, qv) =>
+          val c = cos(v, qv)
+          val h = heaps(qid)
+          if (h.size < k) h.enqueue((c, id))
+          else {
+            val (wc, wid) = h.head
+            if (c > wc || (c == wc && id < wid)) { h.dequeue(); h.enqueue((c, id)) }
+          }
+        }
+      }
+      heaps.iterator.flatMap { case (qid, h) => h.iterator.map { case (c, id) => Row(qid, id, c) } }
+    }(Encoders.row(outSchema))
+
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    candidates.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Deterministic coarse centroids: the embeddings of the `c` smallest ids.
+    * (A k-means refinement can swap in here; determinism matters more than
+    * centroid quality for a correctness-gated baseline.)
+    */
+  def coarseCentroids(vectors: DataFrame, c: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[(Int, Array[Float])] =
+    vectors.orderBy(col(idCol)).limit(c)
+      .select(col(idCol), col(vecCol))
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
+
+  /** IVF search: assign every vector to its nearest centroid (broadcast,
+    * map-side), probe the nProbe nearest lists per query via an equi-join on the
+    * centroid id, exact cosine + top-k inside.
+    */
+  def ivfTopK(
+      vectors: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      numCentroids: Int = 16,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "embedding"): DataFrame = {
+    val spark = vectors.sparkSession
+    val cents = coarseCentroids(vectors, numCentroids, idCol, vecCol)
+    val bc = spark.sparkContext.broadcast(cents)
+
+    val assignSchema = StructType(Seq(
+      StructField("list_id", IntegerType, nullable = false),
+      StructField("id", LongType, nullable = false),
+      StructField("vec", ArrayType(FloatType), nullable = false)))
+    val idIdx = vectors.schema.fieldIndex(idCol)
+    val vecIdx = vectors.schema.fieldIndex(vecCol)
+    val assigned = vectors.mapPartitions { rows =>
+      val cs = bc.value
+      rows.map { row =>
+        val v = row.getSeq[Float](vecIdx).toArray
+        var best = 0; var bestCos = Double.MinValue
+        cs.foreach { case (ci, cv) =>
+          val c = cos(v, cv); if (c > bestCos) { bestCos = c; best = ci }
+        }
+        Row(best, row.getLong(idIdx), v.toSeq)
+      }
+    }(Encoders.row(assignSchema))
+
+    val qIdIdx = queries.schema.fieldIndex(queryIdCol)
+    val qVecIdx = queries.schema.fieldIndex(queryVecCol)
+    val probeSchema = StructType(Seq(
+      StructField("list_id", IntegerType, nullable = false),
+      StructField("query_id", LongType, nullable = false),
+      StructField("qvec", ArrayType(FloatType), nullable = false)))
+    val probes = queries.mapPartitions { rows =>
+      val cs = bc.value
+      rows.flatMap { row =>
+        val v = row.getSeq[Float](qVecIdx).toArray
+        val qid = row.getLong(qIdIdx)
+        cs.map { case (ci, cv) => (cos(v, cv), ci) }
+          .sortBy { case (c, ci) => (-c, ci) }
+          .take(nProbe)
+          .map { case (_, ci) => Row(ci, qid, v.toSeq) }
+      }
+    }(Encoders.row(probeSchema))
+
+    import vps.text.functions.cosine_sim
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    probes.join(assigned, Seq("list_id"))
+      .withColumn("cosine", cosine_sim(col("qvec"), col("vec")))
+      .select(col("query_id"), col("id").as("neighbor_id"), col("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+}

@@ -1,0 +1,214 @@
+package vps.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Text-analysis kernels for large-scale corpus pipelines: shingling, MinHash,
+  * SimHash, rolling-hash fingerprints, n-gram language id. All deterministic,
+  * all seed-free (hash constants fixed), so results reproduce across runs and
+  * cluster sizes.
+  */
+object TextOps {
+  // splitmix64 — public-domain mixing constants
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** 64-bit polynomial rolling hash of a char window. */
+  def charShingles(s: String, n: Int): Array[Long] = {
+    if (s == null || s.length < n) return Array.empty
+    val out = new Array[Long](s.length - n + 1)
+    var h = 0L
+    var pow = 1L
+    val B = 1315423911L
+    var i = 0
+    while (i < n) { h = h * B + s.charAt(i); if (i < n - 1) pow *= B; i += 1 }
+    out(0) = mix64(h)
+    i = n
+    while (i < s.length) {
+      h = (h - s.charAt(i - n) * pow) * B + s.charAt(i)
+      out(i - n + 1) = mix64(h)
+      i += 1
+    }
+    out
+  }
+
+  /** MinHash signature over char n-gram shingles: sig(j) = min over shingles of
+    * mix64(shingle ^ seed_j). Empty text -> Long.MaxValue lanes.
+    */
+  def minhash(s: String, numHashes: Int, shingle: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val sh = charShingles(s, shingle)
+    var i = 0
+    while (i < sh.length) {
+      var j = 0
+      while (j < numHashes) {
+        val h = mix64(sh(i) ^ (j * 0xa54ff53a5f1d36f1L))
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** 64-bit SimHash over whitespace tokens. */
+  def simhash(s: String): Long = {
+    if (s == null) return 0L
+    val counts = new Array[Int](64)
+    var start = 0
+    val len = s.length
+    var i = 0
+    while (i <= len) {
+      if (i == len || s.charAt(i) == ' ' || s.charAt(i) == '\t' || s.charAt(i) == '\n') {
+        if (i > start) {
+          var h = 0L
+          var j = start
+          while (j < i) { h = h * 31 + s.charAt(j); j += 1 }
+          h = mix64(h)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+            b += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Exact n-gram Jaccard similarity between two strings (distinct shingles). */
+  def jaccard(a: String, b: String, shingle: Int): Double = {
+    val sa = charShingles(a, shingle).toSet
+    val sb = charShingles(b, shingle).toSet
+    if (sa.isEmpty && sb.isEmpty) 1.0
+    else {
+      val inter = sa.intersect(sb).size
+      inter.toDouble / (sa.size + sb.size - inter)
+    }
+  }
+
+  /** Rolling-hash fingerprint of the full document (winnowing-free baseline). */
+  def fingerprint(s: String): Long =
+    if (s == null) 0L else mix64(s.foldLeft(0L)((h, c) => h * 1315423911L + c))
+
+  // ---- language id: tiny stopword-profile heuristic ----
+  private val Profiles: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "in", "is", "that", "it", "for", "with", "was", "on"),
+    "es" -> Set("el", "la", "de", "que", "y", "en", "los", "del", "las", "por", "un", "para"),
+    "de" -> Set("der", "die", "und", "das", "von", "zu", "mit", "den", "im", "für", "ist", "des"),
+    "fr" -> Set("le", "la", "les", "de", "des", "et", "en", "un", "une", "du", "que", "est"),
+    "it" -> Set("il", "di", "che", "la", "per", "non", "con", "una", "del", "gli", "più", "nel"))
+
+  /** Best-scoring stopword profile; "und" = undetermined (no hits). */
+  def langId(s: String): String = {
+    if (s == null || s.isEmpty) return "und"
+    val tokens = s.toLowerCase.split("\\s+").take(500)
+    var best = "und"
+    var bestScore = 0
+    Profiles.foreach { case (lang, stops) =>
+      val score = tokens.count(stops.contains)
+      if (score > bestScore) { best = lang; bestScore = score }
+    }
+    best
+  }
+}
+
+case class MinHashSig(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(s: Any, n: Any, k: Any): Any =
+    new GenericArrayData(TextOps.minhash(
+      s.asInstanceOf[UTF8String].toString, n.asInstanceOf[Int], k.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(f, s, t)
+}
+
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(s: Any): Any = TextOps.simhash(s.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class NgramJaccard(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any, n: Any): Any =
+    TextOps.jaccard(a.asInstanceOf[UTF8String].toString, b.asInstanceOf[UTF8String].toString,
+      n.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(f, s, t)
+}
+
+case class DocFingerprint(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(s: Any): Any = TextOps.fingerprint(s.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class LangId(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(s: Any): Any =
+    UTF8String.fromString(TextOps.langId(s.asInstanceOf[UTF8String].toString))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** Cosine similarity between two float-array embeddings. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val va = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toFloatArray()
+    val vb = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toFloatArray()
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(va.length, vb.length)
+    while (i < n) { dot += va(i) * vb(i); na += va(i) * va(i); nb += vb(i) * vb(i); i += 1 }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+object functions {
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.vps.ColumnBridge.{column => c, expression => ex}
+
+  def minhash_sig(text: Column, numHashes: Int, shingle: Int): Column =
+    c(MinHashSig(ex(text), ex(lit(numHashes)), ex(lit(shingle))))
+  def simhash64(text: Column): Column = c(SimHash64(ex(text)))
+  def ngram_jaccard(a: Column, b: Column, shingle: Int): Column =
+    c(NgramJaccard(ex(a), ex(b), ex(lit(shingle))))
+  def doc_fingerprint(text: Column): Column = c(DocFingerprint(ex(text)))
+  def lang_id(text: Column): Column = c(LangId(ex(text)))
+  def cosine_sim(a: Column, b: Column): Column = c(CosineSim(ex(a), ex(b)))
+
+  /** whitespace token count as a pure builtin composition (oracle-friendly). */
+  def token_count(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** Quality heuristics: length, tokens, mean token length, punctuation &
+    * stopword-ish ratios — all builtin compositions.
+    */
+  def quality_features(text: Column): Column = {
+    val toks = token_count(text)
+    val punct = length(text) - length(regexp_replace(text, "[\\.,;:!?]", ""))
+    struct(
+      length(text).as("n_chars"),
+      toks.as("n_tokens"),
+      (length(text).cast("double") / greatest(toks, lit(1))).as("chars_per_token"),
+      (punct.cast("double") / greatest(length(text), lit(1))).as("punct_ratio"))
+  }
+}

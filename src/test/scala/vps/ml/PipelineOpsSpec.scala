@@ -1,0 +1,113 @@
+package vps.ml
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import vps.SparkTestSession
+import vps.text.TextOps
+import vps.text.functions._
+
+class PipelineOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+
+  test("exact dedup finds planted duplicates") {
+    val base = docs.select($"doc_id".as("id"), $"text")
+    // plant: copy texts of docs 0..9 as new ids 10000..10009
+    val dups = base.where($"id" < 10).select(($"id" + 10000).as("id"), $"text")
+    val all = base.union(dups)
+    val found = Dedup.exactDuplicates(all)
+    assert(found.count() >= 10)
+    val grouped = found.select($"keep_id", $"ids").as[(Long, Seq[Long])].collect()
+    grouped.filter(_._1 < 10).foreach { case (keep, ids) =>
+      assert(ids.contains(keep + 10000), s"group of $keep should contain its copy")
+    }
+  }
+
+  test("minhash estimates jaccard; LSH finds near-duplicates") {
+    // unit: identical strings -> sig equal; disjoint -> sigs differ
+    val a = TextOps.minhash("the quick brown fox jumps over the lazy dog", 64, 5)
+    val b = TextOps.minhash("the quick brown fox jumps over the lazy dog", 64, 5)
+    assert(a.toSeq === b.toSeq)
+    // estimate roughly tracks exact jaccard on a perturbed string
+    val s1 = "the quick brown fox jumps over the lazy dog and runs far away into the woods"
+    val s2 = "the quick brown fox jumps over the lazy cat and runs far away into the woods"
+    val exact = TextOps.jaccard(s1, s2, 5)
+    val est = TextOps.minhash(s1, 256, 5).zip(TextOps.minhash(s2, 256, 5)).count { case (x, y) => x == y } / 256.0
+    assert(math.abs(est - exact) < 0.15, s"est=$est exact=$exact")
+
+    // end-to-end LSH: perturbed copies found, unrelated not
+    val base = docs.select($"doc_id".as("id"), $"text").where($"id" < 50)
+    val nearDups = base.select(($"id" + 5000).as("id"),
+      concat($"text", lit(" tiny suffix")).as("text"))
+    val all = base.union(nearDups)
+    val pairs = Dedup.minhashCandidates(all, minJaccard = 0.6)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val planted = (0 until 50).map(i => (i.toLong, i + 5000L)).toSet
+    val recall = planted.count(pairs.contains).toDouble / planted.size
+    assert(recall > 0.9, s"recall=$recall")
+  }
+
+  test("simhash hamming blocking finds near-identical docs") {
+    val base = docs.select($"doc_id".as("id"), $"text").where($"id" < 50)
+    val copies = base.select(($"id" + 7000).as("id"), $"text") // identical -> hamming 0
+    val pairs = Dedup.simhashCandidates(base.union(copies), maxHamming = 3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    (0 until 50).foreach { i => assert(pairs.contains((i.toLong, i + 7000L)), s"missing pair $i") }
+  }
+
+  test("embedding near-dup via sign blocking + exact cosine") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val planted = vecs.where($"vec_id" < 20)
+      .select(($"vec_id" + 9000).as("vec_id"), $"embedding", $"label")
+    val pairs = Dedup.embeddingNearDuplicates(vecs.union(planted), minCosine = 0.999)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    (0 until 20).foreach { i => assert(pairs.contains((i.toLong, i + 9000L))) }
+  }
+
+  test("bruteTopK matches a local oracle; ivf with full probe matches brute") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val queries = vecs.where($"vec_id" < 3).select($"vec_id".as("query_id"), $"embedding")
+    val k = 5
+    val got = VectorSearch.bruteTopK(vecs, queries, k)
+      .select($"query_id", $"neighbor_id", $"rank").as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+
+    val all = vecs.select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    def cosL(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    (0L until 3L).foreach { qid =>
+      val qv = all.find(_._1 == qid).get._2
+      val expected = all.map { case (id, v) => (-cosL(v, qv), id) }.sorted.take(k).map(_._2).toSeq
+      assert(got(qid) === expected, s"query $qid")
+    }
+
+    val ivfFull = VectorSearch.ivfTopK(vecs, queries, k, numCentroids = 8, nProbe = 8)
+      .select($"query_id", $"neighbor_id", $"rank").as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    assert(ivfFull === got)
+
+    // partial probe: top-1 self-hit always survives
+    val ivfPart = VectorSearch.ivfTopK(vecs, queries, k, numCentroids = 8, nProbe = 2)
+      .where($"rank" === 1).select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    (0L until 3L).foreach(q => assert(ivfPart(q) === q))
+  }
+
+  test("text analysis: lang_id, token_count, fingerprint, quality") {
+    assert(TextOps.langId("the cat sat on the mat and it was happy") === "en")
+    assert(TextOps.langId("el perro y la casa de los niños en madrid") === "es")
+    assert(TextOps.langId("") === "und")
+    val row = Seq(("hello world  foo", 3)).toDF("text", "expected")
+      .select(token_count($"text").as("n"), doc_fingerprint($"text").as("fp"),
+        quality_features($"text").as("q"))
+      .select($"n", $"fp", $"q.n_tokens", $"q.punct_ratio").as[(Int, Long, Int, Double)].head()
+    assert(row._1 === 3 && row._3 === 3)
+    assert(row._2 === TextOps.fingerprint("hello world  foo"))
+    assert(row._4 === 0.0)
+  }
+}
