@@ -1,13 +1,466 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import vps.docs.InterleavedDocs
+import vps.joins.SpatialJoins
+import vps.ml.{Dedup, VectorSearch}
+import vps.sql.functions._
+import vps.text.functions._
+import vps.tiling.TilePipeline
+
+/** Driver contract — one `queries` entry per implemented operator family
+  * (SURVEY.md §2), with an ANSI-SQL DuckDB oracle where the semantics are
+  * SQL-expressible. Column names/types and row ordering match the oracle SQL
+  * exactly (the driver sorts columns by name and hashes values).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(dir: String, name: String)(implicit spark: SparkSession): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Geo points extracted from interleaved-doc spans (the engine's input). */
+  private def geoPoints(spark: SparkSession, dir: String): DataFrame = {
+    vps.geom.Geo.registerUDTs()
+    InterleavedDocs.extractGeoSpans(InterleavedDocs.fromDocuments(spark, dir))
+  }
+
+  /** Flagship: spans -> geometry -> salted tile groupBy -> clip -> MVT encode,
+    * on sf0.001; driver smoke-checks rows > 0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    vps.geom.Geo.registerUDTs()
+    val pts = geoPoints(spark, "/root/testdata/sf0.001")
+      .select((col("id") * 10 + col("span_offset")).as("id"), col("geom"))
+    TilePipeline.tileZoom(pts, 6).toDF()
+      .select(col("zoom"), col("x"), col("y"), col("features"), length(col("mvt")).as("mvt_bytes"))
+  }
+
+  // the PIP fixture polygons: 40 deterministic lon/lat boxes
+  private def boxPolys(spark: SparkSession): DataFrame =
+    spark.range(0, 40).toDF("poly_id")
+      .select(col("poly_id"),
+        ((col("poly_id") * 97 % 340) - 170.0).as("lon0"),
+        ((col("poly_id") * 61 % 150) - 75.0).as("lat0"))
+      .select(col("poly_id"), st_geomFromWKT(format_string(
+        "POLYGON ((%.1f %.1f, %.1f %.1f, %.1f %.1f, %.1f %.1f, %.1f %.1f))",
+        col("lon0"), col("lat0"),
+        col("lon0") + 15.0, col("lat0"),
+        col("lon0") + 15.0, col("lat0") + 12.0,
+        col("lon0"), col("lat0") + 12.0,
+        col("lon0"), col("lat0"))).as("geom"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- general query capability over the TPC-H-ish tables ----
+    "q01_agg" -> ((s, dir) => {
+      implicit val spark = s
+      t(dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000).cast("long"))
+            .as("revenue_e4"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q02_join_agg" -> ((s, dir) => {
+      implicit val spark = s
+      t(dir, "lineitem")
+        .join(broadcast(t(dir, "orders")), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000).cast("long"))
+            .as("revenue_e4"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+    "q03_window_topn" -> ((s, dir) => {
+      implicit val spark = s
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // ---- temporal versioning windows (the reference's W1-W3 family) ----
+    "q04_validity_window" -> ((s, dir) => {
+      implicit val spark = s
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(dir, "events")
+        .withColumn("valid_until_us", unix_micros(lead(col("ts"), 1).over(w).cast("timestamp")))
+        .withColumn("minor_version", row_number().over(w) - 1)
+        .select(col("event_id"), col("valid_until_us"), col("minor_version"))
+        .orderBy("event_id")
+    }),
+    "q05_asof_join" -> ((s, dir) => {
+      implicit val spark = s
+      val events = t(dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+      val orders = t(dir, "orders")
+        .select(col("o_custkey").as("user_id"), col("o_orderkey"), col("o_orderdate"))
+      val joined = events.join(orders, Seq("user_id")).where(col("o_orderdate") <= col("ts"))
+      val w = Window.partitionBy(col("event_id")).orderBy(col("o_orderdate").desc, col("o_orderkey"))
+      joined.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("event_id"), col("o_orderkey"))
+        .orderBy("event_id")
+    }),
+    "q06_change_detect" -> ((s, dir) => {
+      implicit val spark = s
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(dir, "events")
+        .withColumn("changed", !(lag(col("event_type"), 1).over(w) <=> col("event_type")))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("changed"), 1L).otherwise(0L)).as("n_changes"), count(lit(1)).as("n"))
+        .orderBy("user_id")
+    }),
+
+    // ---- interleaved-doc span extraction + geometry (G6 / F20-F23) ----
+    "q07_span_extract" -> ((s, dir) => {
+      geoPoints(s, dir)
+        .select(col("doc_id"), col("span_offset"),
+          round(st_x(col("geom")) * 10000).cast("long").as("lon_e4"),
+          round(st_y(col("geom")) * 10000).cast("long").as("lat_e4"))
+        .orderBy(col("doc_id"), col("span_offset"))
+    }),
+    "q08_tile_assign" -> ((s, dir) => {
+      geoPoints(s, dir)
+        .where(col("span_offset") === 1)
+        .select(tile_x(st_x(col("geom")), 8).as("tx"), tile_y(st_y(col("geom")), 8).as("ty"))
+        .groupBy("tx", "ty").agg(count(lit(1)).as("n"))
+        .orderBy("tx", "ty")
+    }),
+    "q09_cell_assign" -> ((s, dir) => {
+      geoPoints(s, dir)
+        .select(cell_at(st_x(col("geom")), st_y(col("geom")), 10).as("cell"))
+        .groupBy("cell").agg(count(lit(1)).as("n"))
+        .orderBy("cell")
+    }),
+
+    // ---- spatial joins (J9/J10) ----
+    "q10_pip_join" -> ((s, dir) => {
+      val pts = geoPoints(s, dir)
+        .select((col("id") * 10 + col("span_offset")).as("pt_id"), col("geom"))
+      SpatialJoins.pipBroadcast(pts, boxPolys(s))
+        .select(col("pt_id"), col("poly_id"))
+        .orderBy("pt_id", "poly_id")
+    }),
+    "q11_pip_cell_join" -> ((s, dir) => {
+      val pts = geoPoints(s, dir)
+        .select((col("id") * 10 + col("span_offset")).as("pt_id"), col("geom"))
+      SpatialJoins.pipCellJoin(pts, boxPolys(s), level = 6)
+        .select(col("pt_id"), col("poly_id"))
+        .orderBy("pt_id", "poly_id")
+    }),
+    "q12_knn" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Seq((0L, 10.0, 20.0), (1L, -120.0, -60.0), (2L, 179.0, 79.0))
+        .toDF("query_id", "qlon", "qlat")
+        .select(col("query_id"), st_point(col("qlon"), col("qlat")).as("geom"))
+      val pts = geoPoints(s, dir).where(col("span_offset") === 1)
+        .select(col("id"), col("geom"))
+      SpatialJoins.knnBroadcast(pts, queries, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- tiling pipeline (flagship, SQL-checkable projection) ----
+    "q13_tile_pipeline" -> ((s, dir) => {
+      val pts = geoPoints(s, dir)
+        .select((col("id") * 10 + col("span_offset")).as("id"), col("geom"))
+      TilePipeline.tileZoom(pts, 6).toDF()
+        .select(col("x"), col("y"), col("features").cast("long").as("n"))
+        .orderBy("x", "y")
+    }),
+
+    // ---- dedup family ----
+    "q14_dedup_exact" -> ((s, dir) => {
+      implicit val spark = s
+      val base = t(dir, "documents").select(col("doc_id").as("id"), col("text"))
+      val corpus = base.unionAll(base.select((col("id") + 100000L).as("id"), col("text")))
+      Dedup.exactDuplicates(corpus)
+        .select(col("digest"), col("keep_id"), col("n"))
+        .orderBy("digest")
+    }),
+    "q15_minhash_lsh" -> ((s, dir) => {
+      implicit val spark = s
+      val base = t(dir, "documents").select(col("doc_id").as("id"), col("text"))
+      val near = base.select((col("id") + 100000L).as("id"),
+        concat(col("text"), lit(" tiny suffix")).as("text"))
+      Dedup.minhashCandidates(base.unionAll(near), minJaccard = 0.6)
+        .select(col("id_a"), col("id_b"), floor(col("jaccard") * 1000).cast("long").as("jaccard_e3"))
+        .orderBy("id_a", "id_b")
+    }),
+    "q16_simhash" -> ((s, dir) => {
+      implicit val spark = s
+      val base = t(dir, "documents").select(col("doc_id").as("id"), col("text"))
+      val copies = base.select((col("id") + 100000L).as("id"), col("text"))
+      Dedup.simhashCandidates(base.unionAll(copies), maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
+    "q17_embed_neardup" -> ((s, dir) => {
+      implicit val spark = s
+      val vecs = t(dir, "embeddings")
+      val planted = vecs.where(col("vec_id") < 20)
+        .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"), col("label"))
+      Dedup.embeddingNearDuplicates(vecs.unionAll(planted), minCosine = 0.999)
+        .select(col("id_a"), col("id_b"), floor(col("cosine") * 1000000).cast("long").as("cos_e6"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- similarity search over embeddings ----
+    "q18_knn_embedding" -> ((s, dir) => {
+      implicit val spark = s
+      val vecs = t(dir, "embeddings")
+      val queries = vecs.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      VectorSearch.bruteTopK(vecs, queries, k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+    "q19_embed_buckets" -> ((s, dir) => {
+      implicit val spark = s
+      val sign = (0 until 8).map { i =>
+        when(element_at(col("embedding"), i + 1) >= 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      t(dir, "embeddings")
+        .select(sign.as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }),
+
+    // ---- text analysis ----
+    "q20_token_stats" -> ((s, dir) => {
+      implicit val spark = s
+      t(dir, "documents")
+        .where(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          token_count(col("text")).cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("chars"),
+          (length(col("text")) - length(regexp_replace(col("text"), "[\\.,;:!?]", "")))
+            .cast("long").as("punct"))
+        .orderBy("doc_id")
+    }),
+    "q21_hashtags" -> ((s, dir) => {
+      implicit val spark = s
+      val withTags = t(dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("#tag"), col("doc_id") % 5, lit(" note #MixedCase: "), col("text")).as("comment"))
+      withTags
+        .select(col("doc_id"), explode(vps.sql.TagFunctions.hashtags(col("comment"))).as("tag"))
+        .orderBy("doc_id", "tag")
+    }),
+    "q22_langid" -> ((s, dir) => {
+      implicit val spark = s
+      t(dir, "documents")
+        .select(lang_id(col("text")).as("lang"))
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang")
+    }),
+    "q23_fingerprint" -> ((s, dir) => {
+      implicit val spark = s
+      t(dir, "documents")
+        .select(col("doc_id"), doc_fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- span-sequence invariant probe (north rule) ----
+    "q24_span_invariant" -> ((s, dir) => {
+      val docs = InterleavedDocs.fromDocuments(s, dir)
+      // a shuffle-heavy round trip that must keep every span sequence intact
+      val before = docs.select(col("doc_id"), InterleavedDocs.spanFingerprint(col("spans")).as("fp"))
+      val after = docs.repartition(16, col("doc_id"))
+        .join(docs.select(col("doc_id")).distinct(), Seq("doc_id"))
+        .select(col("doc_id"), InterleavedDocs.spanFingerprint(col("spans")).as("fp"))
+      before.as("b").join(after.as("a"), "doc_id")
+        .select(col("doc_id"),
+          when(col("b.fp") === col("a.fp"), lit(1L)).otherwise(lit(0L)).as("intact"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- media plumbing (stubbed codec; deterministic) ----
+    "q25_media_decode" -> ((s, dir) => {
+      val docs = InterleavedDocs.fromDocuments(s, dir)
+      val media = docs.select(col("doc_id"), explode(col("spans")).as("span"))
+        .where(col("span.kind") === "image")
+        .select(col("doc_id"), col("span.media_ref").as("media_ref"))
+        .withColumn("blob", vps.media.MediaPipeline.synthesizeBlob(col("media_ref")))
+      vps.media.MediaPipeline.decode(media, "blob")
+        .select(col("doc_id"), col("media_kind"), col("width"), col("height"))
+        .orderBy("doc_id")
+    })
+  )
+
+  // ------------------------------------------------------------------
+  // DuckDB oracles. Tables are registered by name over the same sf dir.
+  // Span coordinates are recomputed with the same integer formulas.
+  // ------------------------------------------------------------------
+
+  /** Both geo spans as a SQL relation: (doc_id-string, id, span_offset, lon, lat). */
+  private val geoSpansSql =
+    s"""SELECT 'doc' || doc_id AS sdoc_id, doc_id AS id, 1 AS span_offset,
+       |       ${InterleavedDocs.lonSql} AS lon, ${InterleavedDocs.latSql} AS lat
+       |FROM documents
+       |UNION ALL
+       |SELECT 'doc' || doc_id, doc_id, 3, ${InterleavedDocs.lon2Sql}, ${InterleavedDocs.lat2Sql}
+       |FROM documents WHERE doc_id % 3 = 0""".stripMargin
+
+  private val tileYSql =
+    (lat: String, z: Int) =>
+      s"CAST(floor((1.0 - ln(tan(radians($lat)) + 1.0/cos(radians($lat)))/pi())/2.0 * ${1 << z}) AS INT)"
+  private val tileXSql =
+    (lon: String, z: Int) => s"CAST(floor(($lon + 180.0)/360.0 * ${1 << z}) AS INT)"
+
+  /** Z-order spread of the low 16 bits into even positions (SQL mirror of
+    * CellId.spread; levels <= 16).
+    */
+  def oracleSql: Map[String, String] = {
+    def spreadExpr(v: String): String = {
+      // ((v | v<<8) & 0x00FF00FF00FF00FF) -> s1; (s1|s1<<4)&0x0F0F... -> s2; etc.
+      val s1 = s"((($v) | (($v) << 8)) & 71777214294589695)"
+      val s2 = s"(($s1 | ($s1 << 4)) & 1085102592571150095)"
+      val s3 = s"(($s2 | ($s2 << 2)) & 3689348814741910323)"
+      s"(($s3 | ($s3 << 1)) & 6148914691236517205)"
+    }
+    Map(
+      "q01_agg" ->
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+          |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4,
+          |  CAST(count(*) AS BIGINT) AS n
+          |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "q02_join_agg" ->
+        """SELECT o_orderpriority,
+          |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4,
+          |  CAST(count(*) AS BIGINT) AS n
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q03_window_topn" ->
+        """SELECT o_custkey, o_orderkey, CAST(rn AS INT) AS rn FROM (
+          |  SELECT o_custkey, o_orderkey,
+          |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+      "q04_validity_window" ->
+        """SELECT event_id,
+          |  CAST(epoch_us(lead(ts, 1) OVER w) AS BIGINT) AS valid_until_us,
+          |  CAST(row_number() OVER w - 1 AS INT) AS minor_version
+          |FROM events
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          |ORDER BY event_id""".stripMargin,
+      "q05_asof_join" ->
+        """SELECT event_id, o_orderkey FROM (
+          |  SELECT e.event_id, o.o_orderkey,
+          |    row_number() OVER (PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey) AS rn
+          |  FROM events e JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+          |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+      "q06_change_detect" ->
+        """SELECT user_id,
+          |  CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+          |  CAST(count(*) AS BIGINT) AS n
+          |FROM (
+          |  SELECT user_id,
+          |    (lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          |      IS DISTINCT FROM event_type) AS changed
+          |  FROM events)
+          |GROUP BY user_id ORDER BY user_id""".stripMargin,
+      "q07_span_extract" ->
+        s"""SELECT sdoc_id AS doc_id, CAST(span_offset AS INT) AS span_offset,
+           |  CAST(round(lon * 10000) AS BIGINT) AS lon_e4,
+           |  CAST(round(lat * 10000) AS BIGINT) AS lat_e4
+           |FROM ($geoSpansSql) ORDER BY doc_id, span_offset""".stripMargin,
+      "q08_tile_assign" ->
+        s"""SELECT ${tileXSql("lon", 8)} AS tx, ${tileYSql("lat", 8)} AS ty,
+           |  CAST(count(*) AS BIGINT) AS n
+           |FROM ($geoSpansSql) WHERE span_offset = 1
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "q09_cell_assign" -> {
+        val sx = spreadExpr(s"CAST(${tileXSql("lon", 10)} AS BIGINT)")
+        val sy = spreadExpr(s"CAST(${tileYSql("lat", 10)} AS BIGINT)")
+        s"""SELECT ((CAST(10 AS BIGINT) << 58) | $sx | ($sy << 1)) AS cell,
+           |  CAST(count(*) AS BIGINT) AS n
+           |FROM ($geoSpansSql)
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+      },
+      "q10_pip_join" ->
+        s"""WITH pts AS (SELECT id * 10 + span_offset AS pt_id, lon, lat FROM ($geoSpansSql)),
+           | polys AS (
+           |  SELECT i AS poly_id,
+           |    CAST((i * 97 % 340) - 170 AS DOUBLE) AS lon0,
+           |    CAST((i * 61 % 150) - 75 AS DOUBLE) AS lat0
+           |  FROM range(40) t(i))
+           |SELECT pt_id, poly_id FROM pts JOIN polys
+           |  ON lon >= lon0 AND lon <= lon0 + 15 AND lat >= lat0 AND lat <= lat0 + 12
+           |ORDER BY pt_id, poly_id""".stripMargin,
+      "q11_pip_cell_join" ->
+        s"""WITH pts AS (SELECT id * 10 + span_offset AS pt_id, lon, lat FROM ($geoSpansSql)),
+           | polys AS (
+           |  SELECT i AS poly_id,
+           |    CAST((i * 97 % 340) - 170 AS DOUBLE) AS lon0,
+           |    CAST((i * 61 % 150) - 75 AS DOUBLE) AS lat0
+           |  FROM range(40) t(i))
+           |SELECT pt_id, poly_id FROM pts JOIN polys
+           |  ON lon >= lon0 AND lon <= lon0 + 15 AND lat >= lat0 AND lat <= lat0 + 12
+           |ORDER BY pt_id, poly_id""".stripMargin,
+      "q12_knn" ->
+        s"""WITH pts AS (SELECT id, lon, lat FROM ($geoSpansSql) WHERE span_offset = 1),
+           | qs AS (SELECT * FROM (VALUES (0, 10.0, 20.0), (1, -120.0, -60.0), (2, 179.0, 79.0)) q(query_id, qlon, qlat))
+           |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(id AS BIGINT) AS neighbor_id, CAST(rn AS INT) AS rank FROM (
+           |  SELECT query_id, id,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY (lon - qlon)*(lon - qlon) + (lat - qlat)*(lat - qlat), id) AS rn
+           |  FROM pts, qs) WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+      "q13_tile_pipeline" ->
+        s"""SELECT ${tileXSql("lon", 6)} AS x, ${tileYSql("lat", 6)} AS y,
+           |  CAST(count(*) AS BIGINT) AS n
+           |FROM ($geoSpansSql)
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "q14_dedup_exact" ->
+        """WITH corpus AS (
+          |  SELECT doc_id AS id, text FROM documents
+          |  UNION ALL SELECT doc_id + 100000, text FROM documents)
+          |SELECT md5(text) AS digest, CAST(min(id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n
+          |FROM corpus GROUP BY text HAVING count(*) > 1 ORDER BY digest""".stripMargin,
+      "q18_knn_embedding" ->
+        """WITH qs AS (SELECT vec_id AS query_id, embedding AS q FROM embeddings WHERE vec_id < 5)
+          |SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank FROM (
+          |  SELECT qs.query_id, e.vec_id AS neighbor_id,
+          |    row_number() OVER (PARTITION BY qs.query_id
+          |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(qs.q AS DOUBLE[])) DESC,
+          |               e.vec_id) AS rn
+          |  FROM embeddings e, qs) WHERE rn <= 3 ORDER BY query_id, rank""".stripMargin,
+      "q19_embed_buckets" ->
+        """SELECT CAST((
+          |   (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+          | + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+          | + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+          | + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
+          | + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END)
+          | + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END)
+          | + (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END)
+          | + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END)) AS BIGINT) AS bucket,
+          |  CAST(count(*) AS BIGINT) AS n
+          |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q20_token_stats" ->
+        """SELECT doc_id,
+          |  CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+          |  CAST(length(text) AS BIGINT) AS chars,
+          |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS punct
+          |FROM documents WHERE length(trim(text)) > 0 ORDER BY doc_id""".stripMargin,
+      "q21_hashtags" ->
+        """SELECT doc_id, tag FROM (
+          |  SELECT doc_id, 'tag' || CAST(doc_id % 5 AS VARCHAR) AS tag FROM documents
+          |  UNION ALL SELECT doc_id, 'mixedcase' FROM documents)
+          |ORDER BY doc_id, tag""".stripMargin,
+      "q24_span_invariant" ->
+        """SELECT 'doc' || doc_id AS doc_id, CAST(1 AS BIGINT) AS intact
+          |FROM documents ORDER BY doc_id""".stripMargin
+      // q15/q16/q17 (minhash/simhash/embedding near-dup), q22 (langid),
+      // q23 (fingerprint), q25 (media): custom hash kernels — not ANSI-SQL
+      // expressible; the driver records rows-only checks, ScalaTest carries
+      // the correctness gate (planted-duplicate oracles in PipelineOpsSpec).
+    )
+  }
 }

@@ -43,7 +43,9 @@ object InterleavedDocs {
     struct(lit(kind).as("kind"), text.as("text"), mediaRef.as("media_ref"), lit(offset).as("offset"))
 
   private def wktPoint(lon: org.apache.spark.sql.Column, lat: org.apache.spark.sql.Column) =
-    concat(lit("POINT ("), lon.cast("string"), lit(" "), lat.cast("string"), lit(")"))
+    // %.4f (exact for the 1e-4-grid coordinates) — a plain double cast can emit
+    // scientific notation, which WKT readers reject
+    concat(lit("POINT ("), format_string("%.4f", lon), lit(" "), format_string("%.4f", lat), lit(")"))
 
   /** Interleaved docs derived from `<sfDir>/documents.parquet`.
     *

@@ -142,7 +142,7 @@ object SpatialJoins {
           val pid = row.getLong(idIdx)
           queries.foreach { case (qid, qc) =>
             val dx = c.x - qc.x; val dy = c.y - qc.y
-            val d = math.sqrt(dx * dx + dy * dy)
+            val d = dx * dx + dy * dy // squared: same order, no sqrt collapse of near-ties
             val h = heaps(qid)
             if (h.size < k) h.enqueue((d, pid))
             else if (Ordering.Tuple2[Double, Long].lt((d, pid), h.head)) { h.dequeue(); h.enqueue((d, pid)) }

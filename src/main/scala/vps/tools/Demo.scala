@@ -62,6 +62,11 @@ object Demo {
     val encoded = tiles.collect()
     val decodedFeatures = encoded.map { case (_, _, b) => Mvt.decode(b).layers.head.features.size }.sum
     println(s"tiles=${encoded.length} mvtFeatures=$decodedFeatures bytes=${encoded.map(_._3.length).sum}")
+
+    // the driver's flagship smoke check
+    val entryRows = graft.SparkEntry.entry(spark)
+    entryRows.show(3, false)
+    println(s"entryRows=${entryRows.count()}")
     spark.stop()
   }
 }
