@@ -1,24 +1,124 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Benchmark main (driver contract: ONE JSON line on stdout).
+  *
+  * Headline metrics follow BASELINE.json: tiles/sec (MVT encode), spatial-join
+  * rows/sec (broadcast + cell variants), kNN rows/sec — measured over the
+  * interleaved-docs corpus scaled with `SPARK_GRAFT_REPLICATION`. Per-query
+  * wall times for every SparkEntry entry ride along in "queries".
+  *
+  * Scaling protocol (BASELINE.md): run twice on the SAME input with
+  * SPARK_GRAFT_CPUS=8 and =32 (the sandbox proxy for N vs 4N executors;
+  * shuffle partitions scale with cores), then
+  * efficiency = (throughput_32 / throughput_8) / 4. See scripts/bench_scaling.sh.
+  */
 object Bench {
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Run once to warm JIT/codegen caches, then measure the second run —
+    * scaling-efficiency math needs steady-state throughput, not compile time.
+    */
+  private def timedWarm[A](f: => A): (A, Double) = { f; time(f) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val replication = sys.env.getOrElse("SPARK_GRAFT_REPLICATION", "20").toInt
+    vps.geom.Geo.registerUDTs()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .appName("graft-bench")
+      .config("spark.sql.shuffle.partitions", cpus * 2)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // ---- headline corpus: replicated interleaved docs -> geo points ----
+    val docs = vps.docs.InterleavedDocs.fromDocuments(spark, sfDir, replication)
+    val points = vps.docs.InterleavedDocs.extractGeoSpans(docs)
+      .select((col("id") * 10 + col("span_offset")).as("id"), col("geom"))
+      .persist()
+    val nPoints = points.count() // materialize once; excluded from timings
+
+    // 1) tiling throughput: salted two-phase groupBy + clip + MVT encode @ z=8
+    val (tileStats, tileSec) = timedWarm {
+      val tiles = vps.tiling.TilePipeline.tileZoom(points, 8)
+      tiles.agg(count(lit(1)), sum(col("features"))).head()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val nTiles = tileStats.getLong(0)
+    val tilesPerSec = nTiles / tileSec
+
+    // 2) point-in-polygon joins: 200 boxes over all points
+    val polys = spark.range(0, 200).toDF("poly_id")
+      .select(col("poly_id"),
+        ((col("poly_id") * 97 % 340) - 170.0).as("lon0"),
+        ((col("poly_id") * 61 % 150) - 75.0).as("lat0"))
+      .select(col("poly_id"), vps.sql.functions.st_geomFromWKT(format_string(
+        "POLYGON ((%.1f %.1f, %.1f %.1f, %.1f %.1f, %.1f %.1f, %.1f %.1f))",
+        col("lon0"), col("lat0"), col("lon0") + 15.0, col("lat0"),
+        col("lon0") + 15.0, col("lat0") + 12.0, col("lon0"), col("lat0") + 12.0,
+        col("lon0"), col("lat0"))).as("geom"))
+      .persist()
+    polys.count()
+
+    val (pipRows, pipSec) = timedWarm {
+      vps.joins.SpatialJoins.pipBroadcast(points, polys).count()
+    }
+    val pipRowsPerSec = nPoints / pipSec // probe throughput: points scanned/sec
+
+    val (pipCellRows, pipCellSec) = timedWarm {
+      vps.joins.SpatialJoins.pipCellJoin(points, polys, level = 7).count()
+    }
+    val pipCellRowsPerSec = nPoints / pipCellSec
+
+    // 3) kNN over embeddings (brute exact, 64 queries)
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .withColumn("r", explode(lit((0 until replication).toArray)))
+      .select((col("vec_id") * replication + col("r")).as("vec_id"), col("embedding"))
+      .persist()
+    val nVecs = vecs.count()
+    val queries = vecs.where(col("vec_id") % lit(replication) === 0).limit(64)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val (knnRows, knnSec) = timedWarm {
+      vps.ml.VectorSearch.bruteTopK(vecs, queries, k = 10).count()
+    }
+    val knnRowsPerSec = nVecs / knnSec
+
+    // 4) geo kNN via k-ring cells
+    val geoQueries = points.limit(32).select(col("id").as("query_id"), col("geom"))
+    val (knnGeoRows, knnGeoSec) = timedWarm {
+      vps.joins.SpatialJoins.knnCellJoin(points, geoQueries, k = 10, level = 6, ring = 2).count()
+    }
+
+    // ---- driver contract: per-query wall times ----
+    val runQueries = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "1") == "1"
+    val results = (if (runQueries) SparkEntry.queries.toSeq.sortBy(_._1) else Seq.empty).map { case (name, fn) =>
+      val (_, sec) = time {
+        try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+      }
+      name -> sec
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+
+    val headline =
+      f"""{"points":$nPoints,"tiles":$nTiles,"tiles_per_sec":$tilesPerSec%.1f,"tile_sec":$tileSec%.2f,""" +
+        f""""pip_rows_per_sec":$pipRowsPerSec%.1f,"pip_out_rows":$pipRows,"pip_sec":$pipSec%.2f,""" +
+        f""""pip_cell_rows_per_sec":$pipCellRowsPerSec%.1f,"pip_cell_out_rows":$pipCellRows,"pip_cell_sec":$pipCellSec%.2f,""" +
+        f""""knn_vectors":$nVecs,"knn_vec_rows_per_sec":$knnRowsPerSec%.1f,"knn_sec":$knnSec%.2f,""" +
+        f""""knn_geo_out_rows":$knnGeoRows,"knn_geo_sec":$knnGeoSec%.2f}"""
+
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"replication":$replication,"headline":$headline}""")
     spark.stop()
   }
 }
