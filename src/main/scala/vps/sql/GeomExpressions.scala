@@ -19,15 +19,23 @@ import vps.kernels.{Clip, Simplify}
   * codegen, JTS-heavy ones use CodegenFallback (the JTS call dominates).
   */
 object GeomOps {
-  // static helpers callable from generated Java
+  // static helpers callable from generated Java (whole-stage codegen)
   def point(lon: Double, lat: Double): Array[Byte] = Wkb.write(Geo.point(lon, lat))
+  def stx(wkb: Array[Byte]): Double = Wkb.read(wkb).getCoordinate.x
+  def sty(wkb: Array[Byte]): Double = Wkb.read(wkb).getCoordinate.y
+  def area(wkb: Array[Byte]): Double = Wkb.read(wkb).getArea
+  def length(wkb: Array[Byte]): Double = Wkb.read(wkb).getLength
+  def numPoints(wkb: Array[Byte]): Int = Wkb.read(wkb).getNumPoints
+  def isEmpty(wkb: Array[Byte]): Boolean = Wkb.read(wkb).isEmpty
 }
 
 case class StPoint(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = GeometryUDT.Instance
   override def nullSafeEval(lon: Any, lat: Any): Any =
     GeomOps.point(lon.asInstanceOf[Double], lat.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lon, lat) => s"vps.sql.GeomOps.point($lon, $lat)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
@@ -64,26 +72,36 @@ abstract class GeomUnary extends UnaryExpression with CodegenFallback {
 }
 
 case class StX(child: Expression) extends GeomUnary {
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"vps.sql.GeomOps.stx($c)")
   override def dataType: DataType = DoubleType
   override protected def evalGeom(g: Geometry): Any = g.getCoordinate.x
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 case class StY(child: Expression) extends GeomUnary {
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"vps.sql.GeomOps.sty($c)")
   override def dataType: DataType = DoubleType
   override protected def evalGeom(g: Geometry): Any = g.getCoordinate.y
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 case class StArea(child: Expression) extends GeomUnary {
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"vps.sql.GeomOps.area($c)")
   override def dataType: DataType = DoubleType
   override protected def evalGeom(g: Geometry): Any = g.getArea
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 case class StLength(child: Expression) extends GeomUnary {
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"vps.sql.GeomOps.length($c)")
   override def dataType: DataType = DoubleType
   override protected def evalGeom(g: Geometry): Any = g.getLength
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 case class StNumPoints(child: Expression) extends GeomUnary {
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"vps.sql.GeomOps.numPoints($c)")
   override def dataType: DataType = IntegerType
   override protected def evalGeom(g: Geometry): Any = g.getNumPoints
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
@@ -94,6 +112,8 @@ case class StCentroid(child: Expression) extends GeomUnary {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 case class StIsEmpty(child: Expression) extends GeomUnary {
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"vps.sql.GeomOps.isEmpty($c)")
   override def dataType: DataType = BooleanType
   override protected def evalGeom(g: Geometry): Any = g.isEmpty
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)

@@ -1,0 +1,72 @@
+package vps.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Plan hygiene audit: prints `explain(formatted)` for the hot paths and greps
+  * the plans for the properties we require at scale (pushed filters, pruned
+  * scan schemas, broadcast joins where intended, whole-stage codegen spans).
+  * Run: sbt "runMain vps.tools.ExplainCheck [sfDir]"
+  */
+object ExplainCheck {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    vps.geom.Geo.registerUDTs()
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def audit(name: String, df: org.apache.spark.sql.DataFrame, expect: Seq[String]): Unit = {
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      println(s"\n========== $name ==========")
+      println(plan.take(6000))
+      expect.foreach { e =>
+        val ok = plan.contains(e)
+        println(s"[check] ${if (ok) "PASS" else "MISS"}: $e")
+      }
+    }
+
+    // 1) projection+filter pushdown reaches the parquet scan
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .where(col("l_quantity") > 45)
+      .select("l_orderkey", "l_quantity")
+    audit("filter+prune pushdown", li,
+      Seq("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]",
+        "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"))
+
+    // 2) broadcast hash join for the dim join
+    val join = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .join(broadcast(spark.read.parquet(s"$sfDir/orders.parquet")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").count()
+    audit("broadcast dim join", join, Seq("BroadcastHashJoin"))
+
+    // 3) tile/cell math stays inside WholeStageCodegen
+    val docs = vps.docs.InterleavedDocs.fromDocuments(spark, sfDir)
+    val cells = vps.docs.InterleavedDocs.extractGeoSpans(docs)
+      .select(vps.sql.functions.cell_at(
+        vps.sql.functions.st_x(col("geom")), vps.sql.functions.st_y(col("geom")), 10).as("cell"))
+      .groupBy("cell").count()
+    audit("cell assignment agg", cells,
+      Seq("codegen id", "HashAggregate"))
+
+    // 4) pip cell join is a plain shuffle equi-join (AQE-eligible), not NL-join
+    val polys = spark.range(0, 40).toDF("poly_id")
+      .select(col("poly_id"), vps.sql.functions.st_geomFromWKT(
+        lit("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")).as("geom"))
+    val pts = vps.docs.InterleavedDocs.extractGeoSpans(docs).select(col("id"), col("geom"))
+    val pip = vps.joins.SpatialJoins.pipCellJoin(pts, polys, 7)
+    audit("pip cell join", pip, Seq("HashJoin")) // tiny dim side -> broadcast; big-big -> SMJ via AQE
+
+    // 5) partial aggregation before the shuffle (map-side combine)
+    val partial = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy("l_returnflag").agg(sum("l_quantity"))
+    audit("partial agg", partial, Seq("HashAggregate", "Exchange"))
+
+    spark.stop()
+  }
+}
