@@ -5,11 +5,14 @@
 set -e
 cd "$(dirname "$0")/.."
 SF=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}
-REP=${SPARK_GRAFT_REPLICATION:-20}
+REP=${SPARK_GRAFT_REPLICATION:-1000}
+# a real 4N cluster has 4x the memory; give the JVM ample heap for both runs
+export SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-48g}
 mkdir -p BENCH
 OUT=BENCH/scaling_runs.jsonl
 : > "$OUT"
-for CPUS in 8 32; do
+CPU_PAIR=${SPARK_GRAFT_CPU_PAIR:-"4 16"}
+for CPUS in $CPU_PAIR; do
   echo "=== cpus=$CPUS sf=$SF replication=$REP" >&2
   SPARK_GRAFT_SF_DIR=$SF SPARK_GRAFT_CPUS=$CPUS SPARK_GRAFT_REPLICATION=$REP \
     sbt -batch "runMain graft.Bench" 2>/dev/null | grep -o '{"metric".*}' >> "$OUT"
@@ -18,14 +21,16 @@ python3 - "$OUT" <<'EOF'
 import json, sys
 runs = [json.loads(l) for l in open(sys.argv[1])]
 by = {r["cpus"]: r for r in runs}
-a, b = by[8]["headline"], by[32]["headline"]
+lo, hi = sorted(by)
+a, b = by[lo]["headline"], by[hi]["headline"]
 print(json.dumps({
-  "tiles_per_sec_8": a["tiles_per_sec"], "tiles_per_sec_32": b["tiles_per_sec"],
+  "cpus": [lo, hi],
+  "tiles_per_sec_lo": a["tiles_per_sec"], "tiles_per_sec_hi": b["tiles_per_sec"],
   "tiles_efficiency": b["tiles_per_sec"]/a["tiles_per_sec"]/4,
-  "pip_rows_per_sec_8": a["pip_rows_per_sec"], "pip_rows_per_sec_32": b["pip_rows_per_sec"],
+  "pip_rows_per_sec_lo": a["pip_rows_per_sec"], "pip_rows_per_sec_hi": b["pip_rows_per_sec"],
   "pip_efficiency": b["pip_rows_per_sec"]/a["pip_rows_per_sec"]/4,
   "pip_cell_efficiency": b["pip_cell_rows_per_sec"]/a["pip_cell_rows_per_sec"]/4,
   "knn_efficiency": b["knn_vec_rows_per_sec"]/a["knn_vec_rows_per_sec"]/4,
-  "queries_total_8": by[8]["value"], "queries_total_32": by[32]["value"],
+  "queries_total_lo": by[lo]["value"], "queries_total_hi": by[hi]["value"],
 }, indent=2))
 EOF

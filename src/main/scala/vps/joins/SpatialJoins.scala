@@ -65,10 +65,14 @@ object SpatialJoins {
         if (pt == null) Iterator.empty
         else {
           val hits = index.query(pt.getEnvelopeInternal).iterator()
+          var base: Seq[Any] = null // built once per point, not per hit
           val out = scala.collection.mutable.ArrayBuffer.empty[Row]
           while (hits.hasNext) {
             val (id, pg) = hits.next().asInstanceOf[(Long, PreparedGeometry)]
-            if (pg.intersects(pt)) out += Row.fromSeq(row.toSeq :+ id)
+            if (pg.intersects(pt)) {
+              if (base == null) base = row.toSeq
+              out += Row.fromSeq(base :+ id)
+            }
           }
           out.iterator
         }
@@ -92,8 +96,10 @@ object SpatialJoins {
       .select(col(polyIdCol).as("poly_id"), col(polyCol).as("_poly_geom"))
       .withColumn("_cell", explode(cells_of(col("_poly_geom"), level)))
     pts.join(pls, Seq("_cell"))
-      .where(st_contains(col("_poly_geom"), col(pointCol)) ||
-        st_intersects(col("_poly_geom"), col(pointCol)))
+      // single refine predicate: for the point probe side, intersects ==
+      // contains-or-boundary (same semantics as the broadcast variant's
+      // PreparedGeometry.intersects), and one predicate = one WKB parse per pair
+      .where(st_intersects(col("_poly_geom"), col(pointCol)))
       .drop("_cell", "_poly_geom")
   }
 

@@ -40,7 +40,7 @@ object Clip {
   }
 
   def apply(geom: Geometry, env: Envelope, timeout: Duration = DefaultTimeout): Geometry = {
-    val extent = Geo.factory.toGeometry(env)
+    lazy val extent = Geo.factory.toGeometry(env) // points never build it
     geom match {
       case p: Point => p
       case mp: MultiPoint =>

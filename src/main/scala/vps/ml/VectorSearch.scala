@@ -46,19 +46,21 @@ object VectorSearch {
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]()))
       .collect()
     val bc = spark.sparkContext.broadcast(qs)
-    val idIdx = vectors.schema.fieldIndex(idCol)
-    val vecIdx = vectors.schema.fieldIndex(vecCol)
 
-    val candidates = vectors.mapPartitions { rows =>
+    // typed tuples: the encoder hands back primitive Array[Float] — a Row's
+    // generic getSeq[Float] would box every element (measured GC bottleneck)
+    val typed = vectors.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])](Encoders.tuple(Encoders.scalaLong,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]()))
+
+    val candidates = typed.mapPartitions { rows =>
       val queries = bc.value
       val heaps = queries.map { case (qid, _) =>
         // min-heap on cosine: head = weakest kept candidate
         qid -> new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
           Ordering.by[(Double, Long), (Double, Long)] { case (c, id) => (-c, id) })
       }.toMap
-      rows.foreach { row =>
-        val v = row.getSeq[Float](vecIdx).toArray
-        val id = row.getLong(idIdx)
+      rows.foreach { case (id, v) =>
         queries.foreach { case (qid, qv) =>
           val c = cos(v, qv)
           val h = heaps(qid)
@@ -110,17 +112,17 @@ object VectorSearch {
       StructField("list_id", IntegerType, nullable = false),
       StructField("id", LongType, nullable = false),
       StructField("vec", ArrayType(FloatType), nullable = false)))
-    val idIdx = vectors.schema.fieldIndex(idCol)
-    val vecIdx = vectors.schema.fieldIndex(vecCol)
-    val assigned = vectors.mapPartitions { rows =>
+    val typedVecs = vectors.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])](Encoders.tuple(Encoders.scalaLong,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]()))
+    val assigned = typedVecs.mapPartitions { rows =>
       val cs = bc.value
-      rows.map { row =>
-        val v = row.getSeq[Float](vecIdx).toArray
+      rows.map { case (id, v) =>
         var best = 0; var bestCos = Double.MinValue
         cs.foreach { case (ci, cv) =>
           val c = cos(v, cv); if (c > bestCos) { bestCos = c; best = ci }
         }
-        Row(best, row.getLong(idIdx), v.toSeq)
+        Row(best, id, v.toSeq)
       }
     }(Encoders.row(assignSchema))
 

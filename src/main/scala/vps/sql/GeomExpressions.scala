@@ -157,23 +157,47 @@ case class StToLonLat(child: Expression) extends GeomUnary {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** Thread-local LRU of parsed + prepared geometries, keyed by WKB content.
+  * Spatial joins evaluate predicates with a small set of repeated geometries on
+  * one side (polygons exploded over cells); caching turns a per-pair WKB parse
+  * + fresh topology check into a PreparedGeometry hit.
+  */
+object GeomCache {
+  private final class Entry(val wkb: Array[Byte], val prepared: org.locationtech.jts.geom.prep.PreparedGeometry)
+  private val cache = ThreadLocal.withInitial[java.util.LinkedHashMap[Integer, Entry]](() =>
+    new java.util.LinkedHashMap[Integer, Entry](64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[Integer, Entry]): Boolean = size() > 48
+    })
+  def prepared(wkb: Array[Byte]): org.locationtech.jts.geom.prep.PreparedGeometry = {
+    val key = Integer.valueOf(java.util.Arrays.hashCode(wkb))
+    val m = cache.get()
+    val hit = m.get(key)
+    if (hit != null && java.util.Arrays.equals(hit.wkb, wkb)) hit.prepared
+    else {
+      val pg = org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(Wkb.read(wkb))
+      m.put(key, new Entry(wkb, pg))
+      pg
+    }
+  }
+}
+
 abstract class GeomBinaryPredicate extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = BooleanType
-  protected def test(a: Geometry, b: Geometry): Boolean
+  protected def test(a: org.locationtech.jts.geom.prep.PreparedGeometry, b: Geometry): Boolean
   override def nullSafeEval(a: Any, b: Any): Any =
-    test(Wkb.read(a.asInstanceOf[Array[Byte]]), Wkb.read(b.asInstanceOf[Array[Byte]]))
+    test(GeomCache.prepared(a.asInstanceOf[Array[Byte]]), Wkb.read(b.asInstanceOf[Array[Byte]]))
 }
 
 case class StContains(left: Expression, right: Expression) extends GeomBinaryPredicate {
-  override protected def test(a: Geometry, b: Geometry): Boolean = a.contains(b)
+  override protected def test(a: org.locationtech.jts.geom.prep.PreparedGeometry, b: Geometry): Boolean = a.contains(b)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 case class StIntersects(left: Expression, right: Expression) extends GeomBinaryPredicate {
-  override protected def test(a: Geometry, b: Geometry): Boolean = a.intersects(b)
+  override protected def test(a: org.locationtech.jts.geom.prep.PreparedGeometry, b: Geometry): Boolean = a.intersects(b)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 case class StWithin(left: Expression, right: Expression) extends GeomBinaryPredicate {
-  override protected def test(a: Geometry, b: Geometry): Boolean = a.within(b)
+  override protected def test(a: org.locationtech.jts.geom.prep.PreparedGeometry, b: Geometry): Boolean = b.within(a.getGeometry)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 case class StDistance(left: Expression, right: Expression)

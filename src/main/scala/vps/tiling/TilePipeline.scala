@@ -38,7 +38,14 @@ object TilePipeline {
       saltBuckets: Int = 8,
       orderAreas: Boolean = false,
       simplify: Boolean = true,
-      clipTimeoutMs: Long = 5000)
+      clipTimeoutMs: Long = 5000,
+      /** Force an extra shuffle by (tile, salt) BEFORE clipping, so pathological
+        * geometries clustered in input partitions get spread first (the
+        * reference's repartition-then-clip). Off by default: the phase-1
+        * groupByKey exchange already distributes by (tile, salt), and clipping
+        * map-side removes a full-corpus shuffle.
+        */
+      spreadBeforeClip: Boolean = false)
 
   /** Tile one zoom level. Input: (id: long, geom: GeometryUDT) [+ ignored extra
     * columns]. Deterministic output: per tile, features sorted by id.
@@ -57,24 +64,28 @@ object TilePipeline {
       .select(col("id").cast("long").as("id"), col("geom"),
         explode(tile_keys(col("geom"), zoom)).as("k"))
       .select(col("id"), col("geom"), col("k.x").as("x"), col("k.y").as("y"))
-      // spread hot tiles BEFORE the expensive clip (reference spreads then clips)
       .withColumn("salt", pmod(col("id"), lit(opts.saltBuckets)).cast("int"))
-      .repartition(col("x"), col("y"), col("salt"))
+
+    val spread =
+      if (opts.spreadBeforeClip) exploded.repartition(col("x"), col("y"), col("salt"))
+      else exploded
+    val clipped = spread
       .withColumn("geom", st_clipToTile(col("geom"), lit(zoom), col("x"), col("y")))
       .where(!st_isEmpty(col("geom")))
 
     // phase 1: pack features per (tile, salt) — geometry already clipped; store
     // tile-local coords so phase 2 only concatenates + encodes
     implicit val partialEnc = Encoders.product[Partial]
-    val partials = exploded
+    val partials = clipped
       .select(col("x"), col("y"), col("salt"), col("id"), st_asWKB(col("geom")).as("wkb"))
       .as[(Int, Int, Int, Long, Array[Byte])]
       .groupByKey(r => (r._1, r._2, r._3))
       .mapGroups[Partial] { (key: (Int, Int, Int), rows: Iterator[(Int, Int, Int, Long, Array[Byte])]) =>
         val (x, y, salt) = key
+        // one affine transform per (tile, salt) group, not per feature
+        val toTile = TileBuilder.lonLatToTile(zoom, x, y, TileBuilder.DefaultExtent)
         val feats = rows.map { case (_, _, _, id, wkb) =>
-          val local = TileBuilder.toTileCoords(Wkb.read(wkb), zoom, x, y, TileBuilder.DefaultExtent)
-          (id, Wkb.write(local))
+          (id, Wkb.write(toTile.transform(Wkb.read(wkb))))
         }.toArray.sortBy(_._1)
         Partial(x, y, salt, feats.map(_._1), feats.map(_._2))
       }
