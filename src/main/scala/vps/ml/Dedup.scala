@@ -39,14 +39,9 @@ object Dedup {
       bands: Int = 16,
       shingle: Int = 5,
       minJaccard: Double = 0.5): DataFrame = {
-    val rows = numHashes / bands
-    val sigs = df.select(col(idCol).as("id"), col(textCol).as("text"),
-      minhash_sig(col(textCol), numHashes, shingle).as("sig"))
-
-    // band buckets: hash of each signature slice
-    val banded = sigs.select(col("id"), col("text"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "bucket")))
+    // band buckets computed in one expression pass (see MinHashBands)
+    val banded = df.select(col(idCol).as("id"), col(textCol).as("text"),
+      posexplode(minhash_bands(col(textCol), numHashes, bands, shingle)).as(Seq("band", "bucket")))
 
     val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("text").as("text_a"))
     val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("text").as("text_b"))

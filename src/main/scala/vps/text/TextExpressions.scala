@@ -89,15 +89,55 @@ object TextOps {
     out
   }
 
-  /** Exact n-gram Jaccard similarity between two strings (distinct shingles). */
-  def jaccard(a: String, b: String, shingle: Int): Double = {
-    val sa = charShingles(a, shingle).toSet
-    val sb = charShingles(b, shingle).toSet
-    if (sa.isEmpty && sb.isEmpty) 1.0
+  /** Distinct sorted shingles (primitive longs — no boxing). */
+  def sortedShingles(s: String, n: Int): Array[Long] = {
+    val sh = charShingles(s, n)
+    if (sh.isEmpty) sh
     else {
-      val inter = sa.intersect(sb).size
-      inter.toDouble / (sa.size + sb.size - inter)
+      java.util.Arrays.sort(sh)
+      var w = 1
+      var i = 1
+      while (i < sh.length) {
+        if (sh(i) != sh(w - 1)) { sh(w) = sh(i); w += 1 }
+        i += 1
+      }
+      java.util.Arrays.copyOf(sh, w)
     }
+  }
+
+  // LSH verify evaluates each doc's shingles against ~dozens of partners;
+  // memoize per thread (keyed by content hash, equality-checked)
+  private val shingleCache = ThreadLocal.withInitial[java.util.LinkedHashMap[Long, (String, Array[Long])]](() =>
+    new java.util.LinkedHashMap[Long, (String, Array[Long])](256, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[Long, (String, Array[Long])]): Boolean = size() > 192
+    })
+
+  def cachedSortedShingles(s: String, n: Int): Array[Long] = {
+    val key = fingerprint(s) ^ (n.toLong << 56)
+    val m = shingleCache.get()
+    val hit = m.get(key)
+    if (hit != null && hit._1 == s) hit._2
+    else {
+      val sh = sortedShingles(s, n)
+      m.put(key, (s, sh))
+      sh
+    }
+  }
+
+  /** Exact n-gram Jaccard similarity between two strings (distinct shingles),
+    * via sorted-array merge intersection.
+    */
+  def jaccard(a: String, b: String, shingle: Int): Double = {
+    val sa = cachedSortedShingles(a, shingle)
+    val sb = cachedSortedShingles(b, shingle)
+    if (sa.isEmpty && sb.isEmpty) return 1.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < sa.length && j < sb.length) {
+      if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
+      else if (sa(i) < sb(j)) i += 1
+      else j += 1
+    }
+    inter.toDouble / (sa.length + sb.length - inter)
   }
 
   /** Rolling-hash fingerprint of the full document (winnowing-free baseline). */
@@ -134,6 +174,34 @@ case class MinHashSig(first: Expression, second: Expression, third: Expression)
       s.asInstanceOf[UTF8String].toString, n.asInstanceOf[Int], k.asInstanceOf[Int]))
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
     copy(f, s, t)
+}
+
+/** MinHash LSH band hashes in ONE pass: sig once, then one 64-bit hash per
+  * band slice. (Composing minhash_sig + per-band slice as separate columns lets
+  * project-collapse inline the signature into each band lane — measured 16x
+  * recompute.)
+  */
+case class MinHashBands(first: Expression, second: Expression, third: Expression, fourth: Expression)
+    extends QuaternaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(s: Any, n: Any, b: Any, k: Any): Any = {
+    val numHashes = n.asInstanceOf[Int]
+    val bands = b.asInstanceOf[Int]
+    val rows = numHashes / bands
+    val sig = TextOps.minhash(s.asInstanceOf[UTF8String].toString, numHashes, k.asInstanceOf[Int])
+    val out = new Array[Long](bands)
+    var bi = 0
+    while (bi < bands) {
+      var h = 0x100000001b3L * (bi + 1)
+      var j = 0
+      while (j < rows) { h = TextOps.mix64(h ^ sig(bi * rows + j)); j += 1 }
+      out(bi) = h
+      bi += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression = copy(f, s, t, q)
 }
 
 case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
@@ -187,6 +255,8 @@ object functions {
 
   def minhash_sig(text: Column, numHashes: Int, shingle: Int): Column =
     c(MinHashSig(ex(text), ex(lit(numHashes)), ex(lit(shingle))))
+  def minhash_bands(text: Column, numHashes: Int, bands: Int, shingle: Int): Column =
+    c(MinHashBands(ex(text), ex(lit(numHashes)), ex(lit(bands)), ex(lit(shingle))))
   def simhash64(text: Column): Column = c(SimHash64(ex(text)))
   def ngram_jaccard(a: Column, b: Column, shingle: Int): Column =
     c(NgramJaccard(ex(a), ex(b), ex(lit(shingle))))
