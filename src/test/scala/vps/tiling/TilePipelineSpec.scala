@@ -93,4 +93,26 @@ class TilePipelineSpec extends AnyFunSuite {
     TileSink.write(tiles, dir)
     assert(victim.exists())
   }
+
+  test("VectorPipe facade: hooks drive the pyramid and sink") {
+    val dir = java.nio.file.Files.createTempDirectory("vpipe").toString
+    var finalized = Vector.empty[Int]
+    val pipeline = new Pipeline {
+      override def layerName = "pts"
+      override def select(df: org.apache.spark.sql.DataFrame, zoom: Int) =
+        if (zoom >= 4) df else df.where($"id" % 3 === 1) // decimate at low zoom
+      override def finalizeZoom(tiles: org.apache.spark.sql.Dataset[TileRow], zoom: Int): Unit =
+        finalized :+= zoom
+    }
+    val levels = VectorPipe(geoms, pipeline, VectorPipe.Options(minZoom = 3, maxZoom = 4,
+      outputDir = Some(dir)))
+    assert(finalized === Vector(4, 3))
+    val counts = levels.toMap.view.mapValues(_.collect().map(_.features.toLong).sum).toMap
+    assert(counts(4) === geoms.count())
+    assert(counts(3) < counts(4)) // select hook decimated
+    assert(new java.io.File(s"$dir/4").exists && new java.io.File(s"$dir/3").exists)
+    val f = new java.io.File(s"$dir/4").listFiles().head.listFiles()
+      .filter(f => f.getName.endsWith(".mvt") && !f.getName.startsWith(".")).head
+    assert(Mvt.decode(java.nio.file.Files.readAllBytes(f.toPath)).layers.head.name === "pts")
+  }
 }
