@@ -20,7 +20,8 @@ object ExplainCheck {
     spark.sparkContext.setLogLevel("WARN")
 
     def audit(name: String, df: org.apache.spark.sql.DataFrame, expect: Seq[String]): Unit = {
-      val plan = df.queryExecution.explainString(
+      df.collect() // materialize AQE stages: codegen/broadcast decisions are final
+      val plan = df.queryExecution.executedPlan.toString + "\n" + df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       println(s"\n========== $name ==========")
       println(plan.take(6000))
@@ -52,7 +53,7 @@ object ExplainCheck {
         vps.sql.functions.st_x(col("geom")), vps.sql.functions.st_y(col("geom")), 10).as("cell"))
       .groupBy("cell").count()
     audit("cell assignment agg", cells,
-      Seq("codegen id", "HashAggregate"))
+      Seq("*(1)", "HashAggregate")) // *(n) = whole-stage codegen span
 
     // 4) pip cell join is a plain shuffle equi-join (AQE-eligible), not NL-join
     val polys = spark.range(0, 40).toDF("poly_id")
