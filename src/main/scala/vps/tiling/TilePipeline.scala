@@ -38,6 +38,10 @@ object TilePipeline {
       saltBuckets: Int = 8,
       orderAreas: Boolean = false,
       simplify: Boolean = true,
+      /** Douglas-Peucker by default (north-star spec); set true for JTS
+        * topology-preserving simplification (the reference's default).
+        */
+      preserveTopology: Boolean = false,
       clipTimeoutMs: Long = 5000,
       /** Force an extra shuffle by (tile, salt) BEFORE clipping, so pathological
         * geometries clustered in input partitions get spread first (the
@@ -57,7 +61,8 @@ object TilePipeline {
     val simplified =
       if (opts.simplify)
         input.withColumn("geom",
-          st_simplify(col("geom"), lit(vps.kernels.Simplify.toleranceForZoom(zoom, opts.extent))))
+          st_simplify(col("geom"), lit(vps.kernels.Simplify.toleranceForZoom(zoom, opts.extent)),
+            preserveTopology = opts.preserveTopology))
       else input
 
     val exploded = simplified
