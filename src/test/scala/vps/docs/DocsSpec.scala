@@ -81,4 +81,29 @@ class DocsSpec extends AnyFunSuite {
     stray.createNewFile()
     assert(SnapshotTable.read(spark, dir).count() === 10)
   }
+
+  test("Z-order cell ids enable real partition pruning via childRange filters") {
+    import vps.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("cellprune").toString
+    val docs = InterleavedDocs.fromDocuments(spark, sfDir)
+    val pts = InterleavedDocs.extractGeoSpans(docs)
+      .select($"id", cell_at(st_x($"geom"), st_y($"geom"), 12).as("cell"))
+      .withColumn("cell_l4", cell_parent($"cell", 4))
+    pts.write.mode("overwrite").partitionBy("cell_l4").parquet(dir)
+
+    // range predicate on the fine cell prunes parent partitions: a level-4
+    // parent covers the contiguous [lo, hi] range of its level-12 children
+    val someParent = pts.select($"cell_l4").head().getLong(0)
+    val (lo, hi) = vps.geom.CellId.childRange(someParent, 12)
+    val q = spark.read.parquet(dir)
+      .where($"cell" >= lo && $"cell" <= hi)
+    q.collect()
+    val planStr = q.queryExecution.executedPlan.toString
+    // only rows of that parent match...
+    val expected = pts.where($"cell_l4" === someParent).count()
+    assert(q.count() === expected && expected > 0)
+    // ...and pushed scan filters carry the range (file/row-group pruning)
+    assert(planStr.contains("PushedFilters") && planStr.contains("GreaterThanOrEqual(cell,"),
+      planStr.take(800))
+  }
 }
