@@ -62,10 +62,10 @@ object Dedup {
       idCol: String = "id",
       textCol: String = "text",
       maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
-    val banded = sigs.select(col("id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        b => call_function("shiftright", col("sig"), b * 16).bitwiseAND(lit(0xffffL)))).as(Seq("band", "bucket")))
+    val withBands = df.select(col(idCol).as("id"), simhash_bands(col(textCol)).as("sb"))
+    val banded = withBands.select(col("id"),
+      element_at(col("sb"), 1).as("sig"),
+      posexplode(slice(col("sb"), 2, 4)).as(Seq("band", "bucket")))
     val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
     val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
     l.join(r, Seq("band", "bucket"))

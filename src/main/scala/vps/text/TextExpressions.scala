@@ -210,6 +210,20 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** (sig, band0..band3) in one pass — sibling of MinHashBands: computing band
+  * slices as separate columns re-evaluates simhash per band after
+  * project-collapse.
+  */
+case class SimHashBands(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(s: Any): Any = {
+    val sig = TextOps.simhash(s.asInstanceOf[UTF8String].toString)
+    new GenericArrayData(Array(sig, sig & 0xffffL, (sig >>> 16) & 0xffffL,
+      (sig >>> 32) & 0xffffL, (sig >>> 48) & 0xffffL))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 case class NgramJaccard(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
@@ -258,6 +272,8 @@ object functions {
   def minhash_bands(text: Column, numHashes: Int, bands: Int, shingle: Int): Column =
     c(MinHashBands(ex(text), ex(lit(numHashes)), ex(lit(bands)), ex(lit(shingle))))
   def simhash64(text: Column): Column = c(SimHash64(ex(text)))
+  /** [sig, band0, band1, band2, band3] in one pass. */
+  def simhash_bands(text: Column): Column = c(SimHashBands(ex(text)))
   def ngram_jaccard(a: Column, b: Column, shingle: Int): Column =
     c(NgramJaccard(ex(a), ex(b), ex(lit(shingle))))
   def doc_fingerprint(text: Column): Column = c(DocFingerprint(ex(text)))
