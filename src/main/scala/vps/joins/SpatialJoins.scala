@@ -229,4 +229,85 @@ object SpatialJoins {
     val w = Window.partitionBy(col(leftIdCol)).orderBy(col(rightTimeCol).desc)
     joined.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
   }
+
+  /** Exact kNN with cell pruning: run [[knnCellJoin]] with `initialRing`, then
+    * verify per query that the ring PROVABLY contains the true top-k — the kth
+    * candidate distance must not exceed the distance from the query point to
+    * the edge of the ring-covered area (and >= k candidates must exist).
+    * Queries failing the guarantee fall back to [[knnBroadcast]] (exact).
+    * Distances are squared-euclidean in degree space on both paths.
+    */
+  def knnCellJoinExact(
+      points: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      level: Int,
+      initialRing: Int = 1,
+      pointIdCol: String = "id",
+      pointGeomCol: String = "geom",
+      queryIdCol: String = "query_id",
+      queryGeomCol: String = "geom"): DataFrame = {
+    import vps.geom.{CellId, TileMath}
+    val candidates = knnCellJoin(points, queries, k, level, initialRing,
+      pointIdCol, pointGeomCol, queryIdCol, queryGeomCol)
+      // knnCellJoin returns euclidean distance; square it to align with the
+      // broadcast path ordering metric
+      .withColumn("dist", col("dist") * col("dist"))
+      .cache()
+
+    val qs = queries
+      .select(col(queryIdCol).cast("long").as("query_id"), st_asWKB(col(queryGeomCol)))
+      .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .collect()
+
+    val stats = candidates.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n"), max(col("dist")).as("kth"))
+      .as[(Long, Long, Double)](Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble))
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+    val failing = qs.filter { case (qid, wkb) =>
+      stats.get(qid) match {
+        case None => true // no candidates at all
+        case Some((n, kthSq)) =>
+          if (n < k) true
+          else {
+            // margin: distance from the query point to the nearest edge of
+            // the ring-covered region (beyond which unseen points may lurk).
+            // Edges at the antimeridian wrap or pole clamp are unbounded: no
+            // cells (hence no points) exist beyond them.
+            val c = Wkb.read(wkb).getCoordinate
+            val cell = CellId.fromLonLat(c.x, c.y, level)
+            val cx = CellId.x(cell); val cy = CellId.y(cell)
+            val nCells = 1L << level
+            val x0 = cx - initialRing; val x1 = cx + initialRing
+            val y0 = math.max(0L, cy - initialRing)
+            val y1 = math.min(nCells - 1, cy + initialRing)
+            val lonMargin =
+              if (x1 - x0 + 1 >= nCells) Double.MaxValue
+              else {
+                val west = TileMath.tileEnvelopeLatLng(level, math.floorMod(x0, nCells).toInt, cy.toInt)
+                val east = TileMath.tileEnvelopeLatLng(level, math.floorMod(x1, nCells).toInt, cy.toInt)
+                math.min(c.x - west.getMinX, east.getMaxX - c.x)
+              }
+            val northMargin =
+              if (y0 == 0) Double.MaxValue
+              else TileMath.tileEnvelopeLatLng(level, cx.toInt, y0.toInt).getMaxY - c.y
+            val southMargin =
+              if (y1 == nCells - 1) Double.MaxValue
+              else c.y - TileMath.tileEnvelopeLatLng(level, cx.toInt, y1.toInt).getMinY
+            val margin = math.min(lonMargin, math.min(northMargin, southMargin))
+            kthSq > margin * margin
+          }
+      }
+    }.map(_._1).toSet
+
+    if (failing.isEmpty) candidates
+    else {
+      val okPart = candidates.where(!col("query_id").isin(failing.toSeq: _*))
+      val failedQueries = queries.where(col(queryIdCol).cast("long").isin(failing.toSeq: _*))
+      val exact = knnBroadcast(points, failedQueries, k,
+        pointIdCol, pointGeomCol, queryIdCol, queryGeomCol)
+      okPart.unionByName(exact)
+    }
+  }
 }

@@ -103,4 +103,19 @@ class SpatialJoinSpec extends AnyFunSuite {
       .select($"lid", $"tag").as[(Long, String)].collect().toSet
     assert(got === Set((1L, "in-window"), (2L, "open")))
   }
+
+  test("knnCellJoinExact equals brute force even with an insufficient ring") {
+    val queries = Seq((0L, 10.0, 20.0), (1L, -120.0, -60.0), (2L, 179.5, 0.0), (3L, 0.0, 79.5))
+      .toDF("query_id", "lon", "lat")
+      .select($"query_id", st_point($"lon", $"lat").as("geom"))
+    Seq((8, 1), (6, 1), (3, 2)).foreach { case (level, ring) =>
+      val got = SpatialJoins.knnCellJoinExact(points, queries, k = 5, level = level, initialRing = ring)
+        .select($"query_id", $"neighbor_id", $"rank").as[(Long, Long, Int)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+      val exact = SpatialJoins.knnBroadcast(points, queries, 5)
+        .select($"query_id", $"neighbor_id", $"rank").as[(Long, Long, Int)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+      assert(got === exact, s"level=$level ring=$ring")
+    }
+  }
 }
