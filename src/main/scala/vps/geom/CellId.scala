@@ -78,11 +78,21 @@ object CellId {
     val n = 1L << l
     val cx = x(cell)
     val cy = y(cell)
-    for {
-      dy <- -k to k
-      yy = cy + dy
-      if yy >= 0 && yy < n
-      dx <- -k to k
-    } yield pack(l, java.lang.Math.floorMod(cx + dx, n), yy)
+    // distinct: when 2k+1 >= n the x wrap revisits cells — dedupe (insertion
+    // order preserved) or duplicate candidates eat top-k slots downstream
+    val seen = scala.collection.mutable.LinkedHashSet.empty[Long]
+    var dy = -k
+    while (dy <= k) {
+      val yy = cy + dy
+      if (yy >= 0 && yy < n) {
+        var dx = -k
+        while (dx <= k) {
+          seen += pack(l, java.lang.Math.floorMod(cx + dx, n), yy)
+          dx += 1
+        }
+      }
+      dy += 1
+    }
+    seen.toSeq
   }
 }

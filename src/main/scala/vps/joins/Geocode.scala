@@ -21,12 +21,25 @@ object Geocode {
       regions: DataFrame,
       geomCol: String = "geom",
       nameCol: String = "name"): DataFrame = {
-    val named = regions.select(
-      monotonically_increasing_id().as("__rid"),
-      col(nameCol).as("__rname"), col(geomCol).as("geom"))
+    val spark = df.sparkSession
+    import vps.sql.functions.{st_asWKB, st_geomFromWKB}
+    // materialize the (small, broadcastable) region side ONCE and assign ids on
+    // the driver: deriving ids with monotonically_increasing_id and evaluating
+    // the lineage twice (broadcast collect + ids join) can mismatch if the
+    // input's partitioning is non-deterministic
+    val regionRows: Array[(Long, String, Array[Byte])] = regions
+      .select(col(nameCol).cast("string"), st_asWKB(col(geomCol)))
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getString(0), r.getAs[Array[Byte]](1)) }
+    import spark.implicits._
+    val named = regionRows.toSeq.toDF("__rid", "__rname", "__wkb")
+      .select(col("__rid"), col("__rname"), st_geomFromWKB(col("__wkb")).as("geom"))
     val ids = named.select(col("__rid"), col("__rname"))
     val marker = "__geocode_row"
-    val withKey = df.withColumn(marker, monotonically_increasing_id())
+    // persist: the marker ids must be identical in both downstream evaluations
+    // (the pip probe and the final join-back)
+    val withKey = df.withColumn(marker, monotonically_increasing_id()).persist()
     val hits = SpatialJoins.pipBroadcast(
       withKey.select(col(marker), col(geomCol).as("geom")),
       named.select(col("__rid").as("poly_id"), col("geom")),

@@ -12,24 +12,48 @@ import vps.text.functions._
   *   candidate pairs verified with exact n-gram Jaccard
   * - [[simhashCandidates]]: 64-bit SimHash, 16-bit band blocking, hamming verify
   *   (builtin `bit_count(a XOR b)`)
-  * - [[embeddingNearDuplicates]]: cosine near-dup via coarse quantization
-  *   blocking + exact cosine verify
+  * - [[embeddingNearDuplicates]]: cosine near-dup via multi-band random
+  *   hyperplane LSH blocking + exact cosine verify
+  *
+  * Scale discipline shared by every banded variant: ONLY (id, band, bucket)
+  * rides the band shuffle — never the document text or the embedding vector.
+  * Payloads are joined back exactly once per side for the verify step, so
+  * shuffle volume is O(corpus × bands × 16 bytes), not O(corpus × bands ×
+  * payload).
   */
 object Dedup {
 
-  /** Groups of byte-identical texts: (digest, keep_id = min id, dup_ids, n). */
+  /** Groups of byte-identical texts: (digest, keep_id = min id, n).
+    * Constant-size aggregation state per group — a pathological 10^8-duplicate
+    * class costs one counter, not an in-memory id array. Group membership is
+    * relational: see [[exactDuplicateMembership]].
+    */
   def exactDuplicates(df: DataFrame, idCol: String = "id", textCol: String = "text"): DataFrame =
     df.groupBy(md5(col(textCol)).as("digest"))
       .agg(
         min(col(idCol)).as("keep_id"),
-        count(lit(1)).as("n"),
-        sort_array(collect_list(col(idCol))).as("ids"))
+        count(lit(1)).as("n"))
       .where(col("n") > 1)
+
+  /** Membership of duplicate groups as rows: (digest, id, keep_id) — one row
+    * per duplicated document. Unbounded duplicate classes stream through as
+    * rows instead of accumulating in a single aggregation buffer.
+    */
+  def exactDuplicateMembership(df: DataFrame, idCol: String = "id", textCol: String = "text"): DataFrame = {
+    val groups = exactDuplicates(df, idCol, textCol).select(col("digest"), col("keep_id"))
+    df.select(md5(col(textCol)).as("digest"), col(idCol).as("id"))
+      .join(groups, Seq("digest"))
+  }
 
   /** MinHash-LSH candidate pairs with exact Jaccard verification.
     *
     * numHashes = bands * rowsPerBand. Collision prob for similarity s is
     * 1-(1-s^rows)^bands; defaults catch s >= ~0.5 with high probability.
+    *
+    * Shuffle plan: (1) band explode + self-join on (band, bucket) over
+    * (id, band, bucket) ONLY; (2) pair-dedupe on (id_a, id_b); (3) the text is
+    * joined back once per side for the `ngram_jaccard` verify. Document bytes
+    * never multiply by the band count.
     */
   def minhashCandidates(
       df: DataFrame,
@@ -39,16 +63,21 @@ object Dedup {
       bands: Int = 16,
       shingle: Int = 5,
       minJaccard: Double = 0.5): DataFrame = {
+    val texts = df.select(col(idCol).as("id"), col(textCol).as("text"))
     // band buckets computed in one expression pass (see MinHashBands)
-    val banded = df.select(col(idCol).as("id"), col(textCol).as("text"),
-      posexplode(minhash_bands(col(textCol), numHashes, bands, shingle)).as(Seq("band", "bucket")))
+    val banded = texts.select(col("id"),
+      posexplode(minhash_bands(col("text"), numHashes, bands, shingle)).as(Seq("band", "bucket")))
 
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("text").as("text_a"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("text").as("text_b"))
-    l.join(r, Seq("band", "bucket"))
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val pairs = l.join(r, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("text_a"), col("text_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
+
+    pairs
+      .join(texts.select(col("id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
+      .join(texts.select(col("id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
       .withColumn("jaccard", ngram_jaccard(col("text_a"), col("text_b"), shingle))
       .where(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
@@ -56,6 +85,7 @@ object Dedup {
 
   /** SimHash near-duplicate pairs with hamming distance <= maxHamming.
     * Blocking: 4 bands of 16 bits — any pair within hamming 3 shares >= 1 band.
+    * The 8-byte signature rides the band shuffle (it IS the payload here).
     */
   def simhashCandidates(
       df: DataFrame,
@@ -76,26 +106,39 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
-  /** Embedding cosine near-duplicates. Blocking on the sign pattern of the first
-    * `signBits` dimensions (a fixed random-hyperplane LSH with axis-aligned
-    * planes); verify with exact cosine.
+  /** Embedding cosine near-duplicates via multi-band random hyperplane LSH.
+    *
+    * Each band projects the vector onto `rowsPerBand` fixed pseudo-random
+    * hyperplanes (seed-free constants, like MinHash) and buckets on the sign
+    * pattern; bands are OR-composed, so a true near-dup pair is caught unless
+    * it sign-flips in EVERY band — with default 8 bands of 16 planes the miss
+    * probability at cos >= 0.999 is negligible, where a single axis-aligned
+    * band silently misses any pair straddling one near-zero early dimension.
+    * Bucket fan-out is 2^rowsPerBand per band, bounding bucket cardinality
+    * (and the within-bucket self-join) as the corpus grows.
+    *
+    * Only (id, band, bucket) rides the shuffle; vectors join back once per
+    * side for the exact-cosine verify.
     */
   def embeddingNearDuplicates(
       df: DataFrame,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       minCosine: Double = 0.95,
-      signBits: Int = 8): DataFrame = {
-    val keyed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      aggregate(
-        zip_with(slice(col(vecCol), 1, signBits),
-          sequence(lit(0), lit(signBits - 1)),
-          (x, i) => when(x >= 0, call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(lit(0L))),
-        lit(0L), (acc, x) => acc + x).as("bucket"))
-    val l = keyed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val r = keyed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    l.join(r, Seq("bucket"))
+      bands: Int = 8,
+      rowsPerBand: Int = 16): DataFrame = {
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val banded = vecs.select(col("id"),
+      posexplode(hyperplane_bands(col("v"), bands, rowsPerBand)).as(Seq("band", "bucket")))
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val pairs = l.join(r, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    pairs
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .withColumn("cosine", cosine_sim(col("v_a"), col("v_b")))
       .where(col("cosine") >= minCosine)
       .select("id_a", "id_b", "cosine")

@@ -78,17 +78,101 @@ object VectorSearch {
     candidates.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
-  /** Deterministic coarse centroids: the embeddings of the `c` smallest ids.
-    * (A k-means refinement can swap in here; determinism matters more than
-    * centroid quality for a correctness-gated baseline.)
+  /** Deterministic coarse centroid INIT: the `c` vectors with the smallest
+    * xxhash64(id) — a uniform, seed-free pseudo-random sample computed as a
+    * distributed top-c (TakeOrdered), no global sort.
     */
   def coarseCentroids(vectors: DataFrame, c: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): Array[(Int, Array[Float])] =
-    vectors.orderBy(col(idCol)).limit(c)
+    vectors.orderBy(xxhash64(col(idCol)), col(idCol)).limit(c)
       .select(col(idCol), col(vecCol))
       .collect()
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
+
+  /** Centroids after `iters` Lloyd passes from the deterministic init. Each
+    * pass is one map-side assignment + per-partition partial sums combined on
+    * the driver (c x dim doubles — constant-size, broadcast-scale), so a pass
+    * costs one corpus scan and no shuffle. Empty clusters keep their previous
+    * centroid.
+    */
+  def trainCentroids(
+      vectors: DataFrame,
+      c: Int,
+      iters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Array[(Int, Array[Float])] = {
+    val spark = vectors.sparkSession
+    var cents = coarseCentroids(vectors, c, idCol, vecCol)
+    if (iters <= 0 || cents.isEmpty) return cents
+    val dim = cents(0)._2.length
+    val typed = vectors.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])](Encoders.tuple(Encoders.scalaLong,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]()))
+      .rdd
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val (sums, counts) = typed.mapPartitions { rows =>
+        val cs = bc.value
+        val s = Array.ofDim[Double](cs.length, dim)
+        val n = new Array[Long](cs.length)
+        rows.foreach { case (_, v) =>
+          var best = 0; var bestCos = Double.MinValue
+          cs.foreach { case (ci, cv) =>
+            val cc = cos(v, cv); if (cc > bestCos) { bestCos = cc; best = ci }
+          }
+          var d = 0
+          while (d < dim && d < v.length) { s(best)(d) += v(d); d += 1 }
+          n(best) += 1
+        }
+        Iterator.single((s, n))
+      }.treeReduce { case ((s1, n1), (s2, n2)) =>
+        var i = 0
+        while (i < s1.length) {
+          var d = 0
+          while (d < dim) { s1(i)(d) += s2(i)(d); d += 1 }
+          n1(i) += n2(i)
+          i += 1
+        }
+        (s1, n1)
+      }
+      cents = cents.map { case (ci, old) =>
+        if (counts(ci) == 0) (ci, old)
+        else (ci, Array.tabulate(dim)(d => (sums(ci)(d) / counts(ci)).toFloat))
+      }
+      bc.unpersist()
+      it += 1
+    }
+    cents
+  }
+
+  /** Measured recall@k of [[ivfTopK]] against [[bruteTopK]] for each nProbe —
+    * the IVF quality curve (fraction of true top-k neighbors retrieved,
+    * averaged over queries).
+    */
+  def recallAtK(
+      vectors: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      numCentroids: Int,
+      nProbes: Seq[Int],
+      trainIters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "embedding"): Seq[(Int, Double)] = {
+    val truth = bruteTopK(vectors, queries, k, idCol, vecCol, queryIdCol, queryVecCol)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    nProbes.map { np =>
+      val got = ivfTopK(vectors, queries, k, numCentroids, np, trainIters,
+        idCol, vecCol, queryIdCol, queryVecCol)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      np -> (if (truth.isEmpty) 1.0 else truth.count(got.contains).toDouble / truth.size)
+    }
+  }
 
   /** IVF search: assign every vector to its nearest centroid (broadcast,
     * map-side), probe the nProbe nearest lists per query via an equi-join on the
@@ -100,12 +184,13 @@ object VectorSearch {
       k: Int,
       numCentroids: Int = 16,
       nProbe: Int = 4,
+      trainIters: Int = 2,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       queryIdCol: String = "query_id",
       queryVecCol: String = "embedding"): DataFrame = {
     val spark = vectors.sparkSession
-    val cents = coarseCentroids(vectors, numCentroids, idCol, vecCol)
+    val cents = trainCentroids(vectors, numCentroids, trainIters, idCol, vecCol)
     val bc = spark.sparkContext.broadcast(cents)
 
     val assignSchema = StructType(Seq(

@@ -196,8 +196,14 @@ case class StIntersects(left: Expression, right: Expression) extends GeomBinaryP
   override protected def test(a: org.locationtech.jts.geom.prep.PreparedGeometry, b: Geometry): Boolean = a.intersects(b)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
-case class StWithin(left: Expression, right: Expression) extends GeomBinaryPredicate {
-  override protected def test(a: org.locationtech.jts.geom.prep.PreparedGeometry, b: Geometry): Boolean = b.within(a.getGeometry)
+/** st_within(a, b) = "a within b" (PostGIS argument order). The container is
+  * the RIGHT operand, so that side is prepared/cached.
+  */
+case class StWithin(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GeomCache.prepared(b.asInstanceOf[Array[Byte]]).contains(Wkb.read(a.asInstanceOf[Array[Byte]]))
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 case class StDistance(left: Expression, right: Expression)

@@ -247,6 +247,66 @@ case class LangId(child: Expression) extends UnaryExpression with CodegenFallbac
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** Fixed pseudo-random hyperplane components for multi-band sign LSH over
+  * embeddings. Seed-free (mix64 of the (band, plane, dim) index), so buckets
+  * reproduce across runs and cluster sizes; memoized per (bands, rows, dim)
+  * since the matrix is a pure function of its shape.
+  */
+object Hyperplanes {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]()
+
+  /** planes(band * rows + r)(d) in [-1, 1). */
+  def planes(bands: Int, rows: Int, dim: Int): Array[Array[Double]] =
+    cache.computeIfAbsent((bands, rows, dim), { _ =>
+      Array.tabulate(bands * rows) { p =>
+        Array.tabulate(dim) { d =>
+          val h = TextOps.mix64(p.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xC2B2AE3D27D4EB4FL + 0x165667B19E3779F9L)
+          ((h >>> 11) * (1.0 / (1L << 53))) * 2.0 - 1.0
+        }
+      }
+    })
+
+  /** Per-band bucket = the sign pattern of `rows` hyperplane projections,
+    * packed into a long (rows <= 63).
+    */
+  def bands(v: Array[Float], bands: Int, rows: Int): Array[Long] = {
+    val m = planes(bands, rows, v.length)
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var bucket = 0L
+      var r = 0
+      while (r < rows) {
+        val plane = m(b * rows + r)
+        var dot = 0.0
+        var d = 0
+        while (d < v.length) { dot += v(d) * plane(d); d += 1 }
+        if (dot >= 0) bucket |= (1L << r)
+        r += 1
+      }
+      out(b) = bucket
+      b += 1
+    }
+    out
+  }
+}
+
+/** Multi-band random-hyperplane LSH buckets of a float-array embedding:
+  * array of `bands` longs, each the sign pattern of `rowsPerBand` fixed
+  * pseudo-random projections. OR-composition over bands happens downstream
+  * (explode + band equi-join).
+  */
+case class HyperplaneBands(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any, b: Any, r: Any): Any = {
+    val vec = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toFloatArray()
+    new GenericArrayData(Hyperplanes.bands(vec, b.asInstanceOf[Int], r.asInstanceOf[Int]))
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(f, s, t)
+}
+
 /** Cosine similarity between two float-array embeddings. */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
@@ -279,6 +339,8 @@ object functions {
   def doc_fingerprint(text: Column): Column = c(DocFingerprint(ex(text)))
   def lang_id(text: Column): Column = c(LangId(ex(text)))
   def cosine_sim(a: Column, b: Column): Column = c(CosineSim(ex(a), ex(b)))
+  def hyperplane_bands(v: Column, bands: Int, rowsPerBand: Int): Column =
+    c(HyperplaneBands(ex(v), ex(lit(bands)), ex(lit(rowsPerBand))))
 
   /** whitespace token count as a pure builtin composition (oracle-friendly). */
   def token_count(text: Column): Column =

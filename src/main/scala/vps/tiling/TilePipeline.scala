@@ -22,10 +22,13 @@ import vps.sql.functions._
 /** One encoded tile. */
 final case class TileRow(zoom: Int, x: Int, y: Int, mvt: Array[Byte], features: Int)
 
-/** Phase-1 packed features for one (tile, salt) bucket. */
+/** Phase-1 packed features for one (tile, salt) bucket. `layers(i)` is null in
+  * single-layer mode (resolved to Options.layerName at encode time), so the
+  * common case pays one null bit per feature, not a repeated string.
+  */
 private[tiling] final case class Partial(
     x: Int, y: Int, salt: Int,
-    ids: Array[Long], geoms: Array[Array[Byte]])
+    ids: Array[Long], layers: Array[String], geoms: Array[Array[Byte]])
 
 object TilePipeline {
 
@@ -34,6 +37,12 @@ object TilePipeline {
 
   final case class Options(
       layerName: String = "features",
+      /** When set, the input column holding each feature's layer name — the
+        * reference's LayerNamesInColumn (`VectorPipe.scala:151-165`): one
+        * emitted tile carries multiple named MVT layers. When None, all
+        * features go to the single layer `layerName`.
+        */
+      layerColumn: Option[String] = None,
       extent: Int = 4096,
       saltBuckets: Int = 8,
       orderAreas: Boolean = false,
@@ -65,10 +74,40 @@ object TilePipeline {
             preserveTopology = opts.preserveTopology))
       else input
 
+    val layerExpr = opts.layerColumn
+      .map(c => col(c).cast("string"))
+      .getOrElse(lit(null).cast("string"))
     val exploded = simplified
-      .select(col("id").cast("long").as("id"), col("geom"),
+      .select(col("id").cast("long").as("id"), layerExpr.as("layer"), col("geom"),
         explode(tile_keys(col("geom"), zoom)).as("k"))
-      .select(col("id"), col("geom"), col("k.x").as("x"), col("k.y").as("y"))
+      .select(col("id"), col("layer"), col("geom"), col("k.x").as("x"), col("k.y").as("y"))
+    packAndEncode(exploded, zoom, opts)
+  }
+
+  /** Tile one zoom of an already-keyed frame (id, layer, geom, x, y) where
+    * `geom` is the ORIGINAL (un-simplified) geometry — the [[pyramidRekey]]
+    * path. Per-zoom simplification happens here, after keying; since the key
+    * set from the original geometry is a superset of the keys the simplified
+    * geometry would produce, and empty clips are filtered, output tiles are
+    * byte-identical to [[tileZoom]].
+    */
+  def tileZoomKeyed(frame: DataFrame, zoom: Int, opts: Options = Options()): Dataset[TileRow] = {
+    val simplified =
+      if (opts.simplify)
+        frame.withColumn("geom",
+          st_simplify(col("geom"), lit(vps.kernels.Simplify.toleranceForZoom(zoom, opts.extent)),
+            preserveTopology = opts.preserveTopology))
+      else frame
+    packAndEncode(simplified, zoom, opts)
+  }
+
+  /** Salt, clip, pack, merge, encode — shared tail of both keyed entry points.
+    * Input: (id: long, layer: string-or-null, geom, x, y).
+    */
+  private def packAndEncode(keyed: DataFrame, zoom: Int, opts: Options): Dataset[TileRow] = {
+    val spark = keyed.sparkSession
+    import spark.implicits._
+    val exploded = keyed
       .withColumn("salt", pmod(col("id"), lit(opts.saltBuckets)).cast("int"))
 
     val spread =
@@ -82,33 +121,38 @@ object TilePipeline {
     // tile-local coords so phase 2 only concatenates + encodes
     implicit val partialEnc = Encoders.product[Partial]
     val partials = clipped
-      .select(col("x"), col("y"), col("salt"), col("id"), st_asWKB(col("geom")).as("wkb"))
-      .as[(Int, Int, Int, Long, Array[Byte])]
+      .select(col("x"), col("y"), col("salt"), col("id"), col("layer"), st_asWKB(col("geom")).as("wkb"))
+      .as[(Int, Int, Int, Long, String, Array[Byte])]
       .groupByKey(r => (r._1, r._2, r._3))
-      .mapGroups[Partial] { (key: (Int, Int, Int), rows: Iterator[(Int, Int, Int, Long, Array[Byte])]) =>
+      .mapGroups[Partial] { (key: (Int, Int, Int), rows: Iterator[(Int, Int, Int, Long, String, Array[Byte])]) =>
         val (x, y, salt) = key
         // one affine transform per (tile, salt) group, not per feature
-        val toTile = TileBuilder.lonLatToTile(zoom, x, y, TileBuilder.DefaultExtent)
-        val feats = rows.map { case (_, _, _, id, wkb) =>
-          (id, Wkb.write(toTile.transform(Wkb.read(wkb))))
+        val toTile = TileBuilder.lonLatToTile(zoom, x, y, opts.extent)
+        val feats = rows.map { case (_, _, _, id, layer, wkb) =>
+          (id, layer, Wkb.write(toTile.transform(Wkb.read(wkb))))
         }.toArray.sortBy(_._1)
-        Partial(x, y, salt, feats.map(_._1), feats.map(_._2))
+        Partial(x, y, salt, feats.map(_._1), feats.map(_._2), feats.map(_._3))
       }
 
-    // phase 2: merge partials per tile, deterministic id order, encode MVT
+    // phase 2: merge partials per tile, group into named layers (sorted by
+    // name), deterministic id order inside each layer, encode MVT
     partials
       .groupByKey(p => (p.x, p.y))
       .mapGroups[TileRow] { (key: (Int, Int), ps: Iterator[Partial]) =>
         val (x, y) = key
         val feats = ps.toArray.sortBy(_.salt).iterator.flatMap { p =>
-          p.ids.iterator.zip(p.geoms.iterator)
-        }.toArray.sortBy(_._1).map { case (id, wkb) =>
-          MvtFeature(Some(id), Wkb.read(wkb), Seq("id" -> MvtValue.I64(id)))
+          p.ids.iterator.zip(p.layers.iterator).zip(p.geoms.iterator)
+            .map { case ((id, layer), wkb) => (if (layer == null) opts.layerName else layer, id, wkb) }
+        }.toArray
+        val layers = feats.groupBy(_._1).toSeq.sortBy(_._1).map { case (name, fs) =>
+          TileBuilder.buildLayer(name,
+            fs.sortBy(_._2).toSeq.map { case (_, id, wkb) =>
+              MvtFeature(Some(id), Wkb.read(wkb), Seq("id" -> MvtValue.I64(id)))
+            },
+            opts.extent, opts.orderAreas)
         }
-        val layer = TileBuilder.buildLayer(opts.layerName, feats.toSeq,
-          opts.extent, opts.orderAreas)
-        val bytes = Mvt.encode(MvtTile(Seq(layer)))
-        TileRow(zoom, x, y, bytes, layer.features.size)
+        val bytes = Mvt.encode(MvtTile(layers))
+        TileRow(zoom, x, y, bytes, layers.iterator.map(_.features.size).sum)
       }
   }
 
@@ -124,5 +168,63 @@ object TilePipeline {
       reduce: (DataFrame, Int) => DataFrame = (df, _) => df): Seq[(Int, Dataset[TileRow])] = {
     require(minZoom <= maxZoom)
     (maxZoom to minZoom by -1).map { z => z -> tileZoom(reduce(input, z), z, opts) }
+  }
+
+  /** Pyramid via parent re-key (the reference's `reduceKeys` fold,
+    * `VectorPipe.scala:118-122,195`): tile keys are computed from the input
+    * ONCE at maxZoom; every coarser zoom derives its keys by halving the
+    * previous frame's keys (exact: the z-1 tiles intersecting an envelope are
+    * precisely the parents of the intersecting z tiles). The full-resolution
+    * input is scanned once, not once per zoom; frames are persisted between
+    * zooms (reference's optional DISK_ONLY persist, `VectorPipe.scala:188`).
+    *
+    * Output tiles are byte-identical to [[pyramid]] — see [[tileZoomKeyed]].
+    *
+    * Materializes each zoom eagerly via `sink` (needed to unpersist frames
+    * deterministically); returns per-zoom (tiles, features) counts.
+    */
+  def pyramidRekey(
+      input: DataFrame,
+      minZoom: Int,
+      maxZoom: Int,
+      opts: Options = Options(),
+      reduce: (DataFrame, Int) => DataFrame = (df, _) => df,
+      persist: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)(
+      sink: (Int, Dataset[TileRow]) => Unit): Seq[(Int, Long, Long)] = {
+    require(minZoom <= maxZoom)
+    val spark = input.sparkSession
+    import spark.implicits._
+    val layerExpr = opts.layerColumn
+      .map(c => col(c).cast("string"))
+      .getOrElse(lit(null).cast("string"))
+    var frame = input
+      .select(col("id").cast("long").as("id"), layerExpr.as("layer"), col("geom"),
+        explode(tile_keys(col("geom"), maxZoom)).as("k"))
+      .select(col("id"), col("layer"), col("geom"), col("k.x").as("x"), col("k.y").as("y"))
+    val out = Seq.newBuilder[(Int, Long, Long)]
+    var z = maxZoom
+    var prev: Option[DataFrame] = None
+    while (z >= minZoom) {
+      frame.persist(persist)
+      val tiles = tileZoomKeyed(reduce(frame, z), z, opts).persist(persist)
+      sink(z, tiles)
+      val stats = tiles.toDF()
+        .agg(count(lit(1)), sum(col("features").cast("long"))).head()
+      out += ((z, stats.getLong(0), if (stats.isNullAt(1)) 0L else stats.getLong(1)))
+      tiles.unpersist()
+      prev.foreach(_.unpersist())
+      prev = Some(frame)
+      if (z > minZoom) {
+        // re-key: parents of the previous frame's keys, deduped per feature
+        frame = frame
+          .select(col("id"), col("layer"), col("geom"),
+            shiftright(col("x"), 1).as("x"), shiftright(col("y"), 1).as("y"))
+          .dropDuplicates("id", "layer", "x", "y")
+      }
+      z -= 1
+    }
+    prev.foreach(_.unpersist())
+    out.result()
   }
 }

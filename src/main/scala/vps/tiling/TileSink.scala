@@ -13,19 +13,29 @@ import org.apache.spark.sql.Dataset
   * skips the partition entirely, so interrupted jobs resume where they stopped;
   * tile bytes are deterministic (features id-sorted), so a partial overwrite is
   * byte-identical.
+  *
+  * Lineage records carry a layout fingerprint (the job's partition count): a
+  * re-run with different parallelism/AQE layout maps tiles to different
+  * partition ids, so a stale record from another layout must NOT suppress the
+  * partition — on fingerprint mismatch the partition rewrites and re-commits.
   */
 object TileSink {
 
-  final case class PartitionLineage(zoom: Int, partition: Int, tiles: Long, features: Long, bytes: Long)
+  final case class PartitionLineage(
+      zoom: Int, partition: Int, tiles: Long, features: Long, bytes: Long, parts: Int)
 
   def write(tiles: Dataset[TilePipeline.TileRow], dir: String): Seq[PartitionLineage] = {
     val spark = tiles.sparkSession
-    import spark.implicits._
     val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val out = dir
 
-    tiles.mapPartitions { rows =>
+    // pin ONE physical layout: the fingerprint below must describe the same
+    // partitioning the tasks actually run with
+    val rdd = tiles.rdd
+    val nParts = rdd.getNumPartitions
+
+    rdd.mapPartitions { rows =>
       val pid = TaskContext.getPartitionId()
       val conf = hadoopConf.value
       val fs = new Path(out).getFileSystem(conf)
@@ -34,41 +44,50 @@ object TileSink {
       else {
         val zoom = buffered.head.zoom
         val lineagePath = new Path(s"$out/_lineage/z$zoom/part-$pid.json")
-        if (fs.exists(lineagePath)) {
-          // committed by a previous run: skip (resume)
-          val in = fs.open(lineagePath)
-          val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-          Iterator.single(parseLineage(txt))
-        } else {
-          var nTiles = 0L; var nFeatures = 0L; var nBytes = 0L
-          buffered.foreach { t =>
-            val p = new Path(f"$out/${t.zoom}/${t.x}/${t.y}.mvt")
-            fs.mkdirs(p.getParent)
-            val tmp = new Path(p.getParent, s".${t.y}.mvt.tmp-$pid")
+        val prior: Option[PartitionLineage] =
+          if (fs.exists(lineagePath)) {
+            val in = fs.open(lineagePath)
+            val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+            Some(parseLineage(txt))
+          } else None
+        prior match {
+          case Some(rec) if rec.parts == nParts =>
+            // committed by a previous run under the SAME layout: skip (resume)
+            Iterator.single(rec)
+          case _ =>
+            // no record, or a record from a different partition layout (stale)
+            var nTiles = 0L; var nFeatures = 0L; var nBytes = 0L
+            buffered.foreach { t =>
+              val p = new Path(f"$out/${t.zoom}/${t.x}/${t.y}.mvt")
+              fs.mkdirs(p.getParent)
+              val tmp = new Path(p.getParent, s".${t.y}.mvt.tmp-$pid")
+              val os = fs.create(tmp, true)
+              try os.write(t.mvt) finally os.close()
+              fs.delete(p, false)
+              if (!fs.rename(tmp, p)) throw new java.io.IOException(s"rename failed for $p")
+              nTiles += 1; nFeatures += t.features; nBytes += t.mvt.length
+            }
+            val rec = PartitionLineage(zoom, pid, nTiles, nFeatures, nBytes, nParts)
+            val tmp = new Path(s"$out/_lineage/z$zoom/.part-$pid.tmp")
+            fs.mkdirs(tmp.getParent)
             val os = fs.create(tmp, true)
-            try os.write(t.mvt) finally os.close()
-            fs.delete(p, false)
-            if (!fs.rename(tmp, p)) throw new java.io.IOException(s"rename failed for $p")
-            nTiles += 1; nFeatures += t.features; nBytes += t.mvt.length
-          }
-          val rec = PartitionLineage(zoom, pid, nTiles, nFeatures, nBytes)
-          val tmp = new Path(s"$out/_lineage/z$zoom/.part-$pid.tmp")
-          fs.mkdirs(tmp.getParent)
-          val os = fs.create(tmp, true)
-          try os.write(lineageJson(rec).getBytes("UTF-8")) finally os.close()
-          if (!fs.rename(tmp, lineagePath)) throw new java.io.IOException(s"lineage commit failed: $lineagePath")
-          Iterator.single(rec)
+            try os.write(lineageJson(rec).getBytes("UTF-8")) finally os.close()
+            fs.delete(lineagePath, false)
+            if (!fs.rename(tmp, lineagePath)) throw new java.io.IOException(s"lineage commit failed: $lineagePath")
+            Iterator.single(rec)
         }
       }
     }.collect().toSeq
   }
 
   private def lineageJson(r: PartitionLineage): String =
-    s"""{"zoom":${r.zoom},"partition":${r.partition},"tiles":${r.tiles},"features":${r.features},"bytes":${r.bytes}}"""
+    s"""{"zoom":${r.zoom},"partition":${r.partition},"tiles":${r.tiles},"features":${r.features},"bytes":${r.bytes},"parts":${r.parts}}"""
 
   private def parseLineage(s: String): PartitionLineage = {
-    def field(n: String): Long = s.split("\"" + n + "\":")(1).split("[,}]")(0).toLong
+    def field(n: String, default: Long = -1L): Long =
+      if (s.contains("\"" + n + "\":")) s.split("\"" + n + "\":")(1).split("[,}]")(0).toLong
+      else default
     PartitionLineage(field("zoom").toInt, field("partition").toInt,
-      field("tiles"), field("features"), field("bytes"))
+      field("tiles"), field("features"), field("bytes"), field("parts").toInt)
   }
 }

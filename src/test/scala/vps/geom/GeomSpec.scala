@@ -96,6 +96,14 @@ class GeomSpec extends AnyFunSuite {
     assert(ring.contains(CellId.pack(4, 15, 0))) // x wrapped
   }
 
+  test("kRing dedupes when ring diameter exceeds grid width") {
+    // level 1: 2x2 grid; k=2 wraps x multiple times — results must be distinct
+    val c = CellId.pack(1, 0, 0)
+    val ring = CellId.kRing(c, 2)
+    assert(ring.size === ring.distinct.size)
+    assert(ring.size === 4) // the whole level-1 grid, once each
+  }
+
   test("z-order locality: children of a cell form contiguous range") {
     val p = CellId.fromLonLat(-0.1, 51.5, 8)
     val (lo, hi) = CellId.childRange(p, 12)

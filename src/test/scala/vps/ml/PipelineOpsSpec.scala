@@ -19,9 +19,13 @@ class PipelineOpsSpec extends AnyFunSuite {
     val all = base.union(dups)
     val found = Dedup.exactDuplicates(all)
     assert(found.count() >= 10)
-    val grouped = found.select($"keep_id", $"ids").as[(Long, Seq[Long])].collect()
-    grouped.filter(_._1 < 10).foreach { case (keep, ids) =>
-      assert(ids.contains(keep + 10000), s"group of $keep should contain its copy")
+    // membership is relational (rows, not a per-group array)
+    val members = Dedup.exactDuplicateMembership(all)
+      .select($"keep_id", $"id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    (0 until 10).foreach { i =>
+      assert(members(i.toLong).contains(i + 10000L), s"group of $i should contain its copy")
+      assert(members(i.toLong).contains(i.toLong))
     }
   }
 
@@ -57,13 +61,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     (0 until 50).foreach { i => assert(pairs.contains((i.toLong, i + 7000L)), s"missing pair $i") }
   }
 
-  test("embedding near-dup via sign blocking + exact cosine") {
+  test("embedding near-dup via hyperplane LSH blocking + exact cosine") {
     val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val planted = vecs.where($"vec_id" < 20)
       .select(($"vec_id" + 9000).as("vec_id"), $"embedding", $"label")
     val pairs = Dedup.embeddingNearDuplicates(vecs.union(planted), minCosine = 0.999)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // 100% recall on planted identical copies
     (0 until 20).foreach { i => assert(pairs.contains((i.toLong, i + 9000L))) }
+  }
+
+  test("embedding near-dup: sign-flip adversarial pair caught; band buckets bounded") {
+    // a true near-dup differing ONLY in a near-zero early dimension: a single
+    // axis-aligned sign band (the old blocking) silently misses it; OR over
+    // multiple random-hyperplane bands must not
+    val dim = 16
+    val base = Array.tabulate(dim)(d => if (d == 0) 1e-6f else math.sin(d + 1.0).toFloat)
+    val flipped = base.clone(); flipped(0) = -1e-6f
+    val rows = Seq((1L, base.toSeq), (2L, flipped.toSeq)).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val pairs = Dedup.embeddingNearDuplicates(rows, minCosine = 0.999)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "sign-flip adversarial near-dup must be caught")
+
+    // bucket-size histogram bounded: 16 sign bits per band keep the
+    // within-bucket self-join far from quadratic
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = vecs.count()
+    val maxBucket = vecs
+      .select(posexplode(hyperplane_bands($"embedding", 8, 16)).as(Seq("band", "bucket")))
+      .groupBy($"band", $"bucket").count()
+      .agg(max($"count")).as[Long].head()
+    assert(maxBucket <= n / 2, s"max bucket $maxBucket of $n — blocking degenerate")
   }
 
   test("bruteTopK matches a local oracle; ivf with full probe matches brute") {

@@ -75,6 +75,16 @@ class GeomExpressionSpec extends AnyFunSuite {
     assert(cIn && !cOut && d === 10.0)
   }
 
+  test("st_within argument order: st_within(a, b) means 'a within b' (PostGIS)") {
+    val df = Seq(("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))", "POINT (5 5)"))
+      .toDF("poly", "pt")
+      .select(st_geomFromWKT($"poly").as("poly"), st_geomFromWKT($"pt").as("pt"))
+    val (ptInPoly, polyInPt) = df.select(
+      st_within($"pt", $"poly"), st_within($"poly", $"pt")).as[(Boolean, Boolean)].head()
+    assert(ptInPoly, "point must be within polygon")
+    assert(!polyInPt, "polygon must NOT be within point")
+  }
+
   test("st_clipToTile and st_simplify inside a plan") {
     val z = 8; val x = 128; val y = 128
     val env = TileMath.tileEnvelopeLatLng(z, x, y)

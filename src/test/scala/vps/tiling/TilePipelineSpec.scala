@@ -70,6 +70,56 @@ class TilePipelineSpec extends AnyFunSuite {
     assert(counts(2)._1 <= counts(3)._1 && counts(3)._1 <= counts(4)._1)
   }
 
+  test("multi-layer tiles: features split into named layers by a string column") {
+    val zoom = 4
+    // id = doc_id*10 + span_offset (offset 1 or 3): id % 20 < 10 <=> doc_id even
+    val layered = geoms.withColumn("kind", when($"id" % 20 < 10, "buildings").otherwise("roads"))
+    val tiles = TilePipeline.tileZoom(layered, zoom,
+      TilePipeline.Options(layerColumn = Some("kind"))).collect()
+    assert(tiles.map(_.features.toLong).sum === geoms.count())
+    // decode: layers named, sorted, and counts per layer match a direct groupBy
+    val expected = layered
+      .select(tile_x(st_x($"geom"), zoom).as("x"), tile_y(st_y($"geom"), zoom).as("y"), $"kind")
+      .groupBy("x", "y", "kind").count()
+      .as[(Int, Int, String, Long)].collect()
+      .map { case (x, y, k, n) => (x, y, k) -> n }.toMap
+    var sawBoth = 0
+    tiles.foreach { t =>
+      val decoded = Mvt.decode(t.mvt)
+      assert(decoded.layers.map(_.name) === decoded.layers.map(_.name).sorted)
+      if (decoded.layers.size == 2) sawBoth += 1
+      decoded.layers.foreach { l =>
+        assert(l.features.size.toLong === expected((t.x, t.y, l.name)),
+          s"tile (${t.x},${t.y}) layer ${l.name}")
+      }
+      assert(decoded.layers.map(_.features.size).sum === t.features)
+    }
+    assert(sawBoth > 0, "at least one tile must carry both layers")
+  }
+
+  test("pyramidRekey produces byte-identical tiles to the per-zoom pyramid") {
+    // points + a multi-tile polygon, so clipping and simplify are exercised
+    val poly = Seq((999999L, "POLYGON ((-10 -10, 10 -10, 10 10, -10 10, -10 -10))"))
+      .toDF("id", "wkt").select($"id", st_geomFromWKT($"wkt").as("geom"))
+    val input = geoms.unionByName(poly)
+    val baseline = TilePipeline.pyramid(input, 2, 5).map { case (z, ds) =>
+      z -> ds.collect().map(t => (t.x, t.y) -> t.mvt.toSeq).toMap
+    }.toMap
+    var rekeyed = Map.empty[Int, Map[(Int, Int), Seq[Byte]]]
+    val stats = TilePipeline.pyramidRekey(input, 2, 5) { (z, ds) =>
+      rekeyed += z -> ds.collect().map(t => (t.x, t.y) -> t.mvt.toSeq).toMap
+    }
+    assert(rekeyed.keySet === baseline.keySet)
+    baseline.foreach { case (z, tiles) =>
+      assert(rekeyed(z).keySet === tiles.keySet, s"zoom $z key sets differ")
+      tiles.foreach { case (k, bytes) =>
+        assert(rekeyed(z)(k) === bytes, s"zoom $z tile $k bytes differ")
+      }
+    }
+    // reported stats line up with the observed tiles
+    stats.foreach { case (z, nTiles, _) => assert(nTiles === baseline(z).size.toLong) }
+  }
+
   test("sink writes z/x/y.mvt, lineage commits, resume skips rewrites") {
     val dir = java.nio.file.Files.createTempDirectory("tilesink").toString
     val tiles = TilePipeline.tileZoom(geoms, 3).repartition(4)
