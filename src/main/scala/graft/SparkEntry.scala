@@ -21,6 +21,14 @@ object SparkEntry {
   private def t(dir: String, name: String)(implicit spark: SparkSession): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** documents is a single small parquet file at test SFs -> one input split;
+    * repartition right after the scan so per-doc kernels (minhash, simhash,
+    * regex) use every core. At production scale the file count/split size
+    * makes this a no-op decision for the reader.
+    */
+  private def docsT(s: SparkSession, dir: String): DataFrame =
+    t(dir, "documents")(s).repartition(s.sparkContext.defaultParallelism)
+
   /** Geo points extracted from interleaved-doc spans (the engine's input). */
   private def geoPoints(spark: SparkSession, dir: String): DataFrame = {
     vps.geom.Geo.registerUDTs()
@@ -143,7 +151,8 @@ object SparkEntry {
     "q10_pip_join" -> ((s, dir) => {
       val pts = geoPoints(s, dir)
         .select((col("id") * 10 + col("span_offset")).as("pt_id"), col("geom"))
-      SpatialJoins.pipBroadcast(pts, boxPolys(s))
+      // projected variant: primitive (id, poly_id) output, no per-hit Row build
+      SpatialJoins.pipBroadcastIds(pts, boxPolys(s), pointIdCol = "pt_id")
         .select(col("pt_id"), col("poly_id"))
         .orderBy("pt_id", "poly_id")
     }),
@@ -177,16 +186,14 @@ object SparkEntry {
 
     // ---- dedup family ----
     "q14_dedup_exact" -> ((s, dir) => {
-      implicit val spark = s
-      val base = t(dir, "documents").select(col("doc_id").as("id"), col("text"))
+      val base = docsT(s, dir).select(col("doc_id").as("id"), col("text"))
       val corpus = base.unionAll(base.select((col("id") + 100000L).as("id"), col("text")))
       Dedup.exactDuplicates(corpus)
         .select(col("digest"), col("keep_id"), col("n"))
         .orderBy("digest")
     }),
     "q15_minhash_lsh" -> ((s, dir) => {
-      implicit val spark = s
-      val base = t(dir, "documents").select(col("doc_id").as("id"), col("text"))
+      val base = docsT(s, dir).select(col("doc_id").as("id"), col("text"))
       val near = base.select((col("id") + 100000L).as("id"),
         concat(col("text"), lit(" tiny suffix")).as("text"))
       Dedup.minhashCandidates(base.unionAll(near), minJaccard = 0.6)
@@ -194,8 +201,7 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
     "q16_simhash" -> ((s, dir) => {
-      implicit val spark = s
-      val base = t(dir, "documents").select(col("doc_id").as("id"), col("text"))
+      val base = docsT(s, dir).select(col("doc_id").as("id"), col("text"))
       val copies = base.select((col("id") + 100000L).as("id"), col("text"))
       Dedup.simhashCandidates(base.unionAll(copies), maxHamming = 3)
         .select(col("id_a"), col("id_b"), col("hamming"))
@@ -234,8 +240,7 @@ object SparkEntry {
 
     // ---- text analysis ----
     "q20_token_stats" -> ((s, dir) => {
-      implicit val spark = s
-      t(dir, "documents")
+      docsT(s, dir)
         .where(length(trim(col("text"))) > 0)
         .select(col("doc_id"),
           token_count(col("text")).cast("long").as("n_tokens"),
@@ -245,8 +250,7 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "q21_hashtags" -> ((s, dir) => {
-      implicit val spark = s
-      val withTags = t(dir, "documents")
+      val withTags = docsT(s, dir)
         .select(col("doc_id"),
           concat(lit("#tag"), col("doc_id") % 5, lit(" note #MixedCase: "), col("text")).as("comment"))
       withTags
@@ -254,15 +258,13 @@ object SparkEntry {
         .orderBy("doc_id", "tag")
     }),
     "q22_langid" -> ((s, dir) => {
-      implicit val spark = s
-      t(dir, "documents")
+      docsT(s, dir)
         .select(lang_id(col("text")).as("lang"))
         .groupBy("lang").agg(count(lit(1)).as("n"))
         .orderBy("lang")
     }),
     "q23_fingerprint" -> ((s, dir) => {
-      implicit val spark = s
-      t(dir, "documents")
+      docsT(s, dir)
         .select(col("doc_id"), doc_fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
     }),
@@ -291,6 +293,64 @@ object SparkEntry {
       vps.media.MediaPipeline.decode(media, "blob")
         .select(col("doc_id"), col("media_kind"), col("width"), col("height"))
         .orderBy("doc_id")
+    }),
+
+    // ---- multi-layer tiling (reference LayerNamesInColumn, A5/K10) ----
+    "q26_tile_layers" -> ((s, dir) => {
+      import s.implicits._
+      val pts = geoPoints(s, dir)
+        .select((col("id") * 10 + col("span_offset")).as("id"), col("geom"),
+          when(col("span_offset") === 1, "primary").otherwise("secondary").as("kind"))
+      // end-to-end check: encode multi-layer MVT bytes, decode them back,
+      // count features per (tile, layer)
+      TilePipeline.tileZoom(pts, 6, TilePipeline.Options(layerColumn = Some("kind")))
+        .flatMap(t => vps.mvt.Mvt.decode(t.mvt).layers.map(l =>
+          (t.x, t.y, l.name, l.features.size.toLong)))
+        .toDF("x", "y", "layer", "n")
+        .orderBy("x", "y", "layer")
+    }),
+
+    // ---- minhash-LSH with a SQL-provable projection: at minJaccard=0.995
+    // only the planted exact copies qualify (measured max natural cross-pair
+    // jaccard in the corpus is 0.991), and LSH recall on identical texts is
+    // exact (identical signatures) ----
+    "q27_minhash_exact" -> ((s, dir) => {
+      val base = docsT(s, dir).select(col("doc_id").as("id"), col("text"))
+      val copies = base.select((col("id") + 100000L).as("id"), col("text"))
+      Dedup.minhashCandidates(base.unionAll(copies), minJaccard = 0.995)
+        .select(col("id_a"), col("id_b"), floor(col("jaccard") * 1000).cast("long").as("jaccard_e3"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- dedup membership as rows (scale-safe group membership) ----
+    "q28_dedup_members" -> ((s, dir) => {
+      val base = docsT(s, dir).select(col("doc_id").as("id"), col("text"))
+      val corpus = base.unionAll(base.select((col("id") + 100000L).as("id"), col("text")))
+      Dedup.exactDuplicateMembership(corpus)
+        .select(col("digest"), col("id"), col("keep_id"))
+        .orderBy("digest", "id")
+    }),
+
+    // ---- IVF ANN: full probe == exact, so the brute-force oracle applies ----
+    "q29_ivf_knn" -> ((s, dir) => {
+      implicit val spark = s
+      val vecs = t(dir, "embeddings")
+      val queries = vecs.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      VectorSearch.ivfTopK(vecs, queries, k = 3, numCentroids = 8, nProbe = 8)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- reverse geocode (broadcast pip + per-row region names) ----
+    "q30_geocode" -> ((s, dir) => {
+      val pts = geoPoints(s, dir)
+        .select((col("id") * 10 + col("span_offset")).as("pt_id"), col("geom"))
+      val regions = boxPolys(s)
+        .select(concat(lit("r"), col("poly_id")).as("name"), col("geom"))
+      vps.joins.Geocode.withRegions(pts, regions)
+        .select(col("pt_id"), explode(col("regions")).as("region"))
+        .orderBy("pt_id", "region")
     })
   )
 
@@ -456,7 +516,42 @@ object SparkEntry {
           |ORDER BY doc_id, tag""".stripMargin,
       "q24_span_invariant" ->
         """SELECT 'doc' || doc_id AS doc_id, CAST(1 AS BIGINT) AS intact
-          |FROM documents ORDER BY doc_id""".stripMargin
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "q26_tile_layers" ->
+        s"""SELECT ${tileXSql("lon", 6)} AS x, ${tileYSql("lat", 6)} AS y,
+           |  CASE WHEN span_offset = 1 THEN 'primary' ELSE 'secondary' END AS layer,
+           |  CAST(count(*) AS BIGINT) AS n
+           |FROM ($geoSpansSql)
+           |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+      "q27_minhash_exact" ->
+        """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, CAST(1000 AS BIGINT) AS jaccard_e3
+          |FROM documents ORDER BY 1, 2""".stripMargin,
+      "q28_dedup_members" ->
+        """WITH corpus AS (
+          |  SELECT doc_id AS id, text FROM documents
+          |  UNION ALL SELECT doc_id + 100000, text FROM documents),
+          |g AS (SELECT text, CAST(min(id) AS BIGINT) AS keep_id FROM corpus
+          |      GROUP BY text HAVING count(*) > 1)
+          |SELECT md5(c.text) AS digest, c.id, g.keep_id
+          |FROM corpus c JOIN g USING (text) ORDER BY digest, id""".stripMargin,
+      "q29_ivf_knn" ->
+        """WITH qs AS (SELECT vec_id AS query_id, embedding AS q FROM embeddings WHERE vec_id < 5)
+          |SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank FROM (
+          |  SELECT qs.query_id, e.vec_id AS neighbor_id,
+          |    row_number() OVER (PARTITION BY qs.query_id
+          |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(qs.q AS DOUBLE[])) DESC,
+          |               e.vec_id) AS rn
+          |  FROM embeddings e, qs) WHERE rn <= 3 ORDER BY query_id, rank""".stripMargin,
+      "q30_geocode" ->
+        s"""WITH pts AS (SELECT id * 10 + span_offset AS pt_id, lon, lat FROM ($geoSpansSql)),
+           | polys AS (
+           |  SELECT i AS poly_id,
+           |    CAST((i * 97 % 340) - 170 AS DOUBLE) AS lon0,
+           |    CAST((i * 61 % 150) - 75 AS DOUBLE) AS lat0
+           |  FROM range(40) t(i))
+           |SELECT pt_id, 'r' || CAST(poly_id AS VARCHAR) AS region FROM pts JOIN polys
+           |  ON lon >= lon0 AND lon <= lon0 + 15 AND lat >= lat0 AND lat <= lat0 + 12
+           |ORDER BY pt_id, region""".stripMargin
       // q15/q16/q17 (minhash/simhash/embedding near-dup), q22 (langid),
       // q23 (fingerprint), q25 (media): custom hash kernels — not ANSI-SQL
       // expressible; the driver records rows-only checks, ScalaTest carries

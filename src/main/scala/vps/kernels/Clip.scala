@@ -39,12 +39,20 @@ object Clip {
     out.toSeq
   }
 
-  def apply(geom: Geometry, env: Envelope, timeout: Duration = DefaultTimeout): Geometry = {
+  def apply(geom: Geometry, env: Envelope, timeout: Duration = DefaultTimeout,
+      onFailure: () => Unit = () => ()): Geometry = {
     lazy val extent = Geo.factory.toGeometry(env) // points never build it
+    // None = timeout or topology exception (original passes through): report
+    // to the caller's error channel so fallbacks are counted, never silent
+    def intersect(g: Geometry): Option[Geometry] = {
+      val r = timedIntersect(g, extent, timeout)
+      if (r.isEmpty) onFailure()
+      r
+    }
     geom match {
       case p: Point => p
       case mp: MultiPoint =>
-        timedIntersect(mp, extent, timeout) match {
+        intersect(mp) match {
           case Some(r) if !r.isEmpty =>
             collectParts(r, classOf[Point]) match {
               case Seq(one) => one
@@ -53,7 +61,7 @@ object Clip {
           case _ => geom // empty/timeout: pass through
         }
       case _: LineString | _: MultiLineString =>
-        timedIntersect(geom, extent, timeout) match {
+        intersect(geom) match {
           case Some(r) if !r.isEmpty =>
             collectParts(r, classOf[LineString]) match {
               case Seq()    => Geo.factory.createMultiLineString(Array.empty) // point-dim result
@@ -63,7 +71,7 @@ object Clip {
           case _ => geom
         }
       case _: Polygon | _: MultiPolygon =>
-        timedIntersect(geom, extent, timeout) match {
+        intersect(geom) match {
           case Some(r) if !r.isEmpty =>
             collectParts(r, classOf[Polygon]) match {
               case Seq()    => Geo.factory.createMultiPolygon(Array.empty) // lower-dim result
@@ -75,7 +83,7 @@ object Clip {
       case gc: GeometryCollection =>
         // split by family, clip each, regroup (the reference never sees mixed
         // collections here; we tolerate them)
-        val parts = (0 until gc.getNumGeometries).map(i => apply(gc.getGeometryN(i), env, timeout))
+        val parts = (0 until gc.getNumGeometries).map(i => apply(gc.getGeometryN(i), env, timeout, onFailure))
         Geo.factory.createGeometryCollection(parts.filterNot(_.isEmpty).toArray)
       case other => other
     }

@@ -68,14 +68,26 @@ object Dedup {
     val banded = texts.select(col("id"),
       posexplode(minhash_bands(col("text"), numHashes, bands, shingle)).as(Seq("band", "bucket")))
 
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
-    val pairs = l.join(r, Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+    // ONE shuffle on (band, bucket), pairs generated inside each bucket row:
+    // signatures are computed exactly once per document (a banded self-join
+    // evaluates its own scan per side — ReuseExchange does not fire across the
+    // alias), and the aggregation state is the bucket's id list, bounded by
+    // bucket cardinality (2^64 bucket space; run exact dedup first if the
+    // corpus has mega duplicate classes)
+    val pairs = banded
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(array_pairs(col("ids"))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
 
+    // re-spread before the CPU-heavy exact verify: the candidate-pair rows are
+    // tiny (16 bytes), so AQE's byte-based coalescing would funnel them into a
+    // handful of partitions and serialize the jaccard computation; one extra
+    // pass over id pairs is noise next to the verify itself
     pairs
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id_a"), col("id_b"))
       .join(texts.select(col("id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
       .join(texts.select(col("id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
       .withColumn("jaccard", ngram_jaccard(col("text_a"), col("text_b"), shingle))
@@ -93,15 +105,19 @@ object Dedup {
       textCol: String = "text",
       maxHamming: Int = 3): DataFrame = {
     val withBands = df.select(col(idCol).as("id"), simhash_bands(col(textCol)).as("sb"))
-    val banded = withBands.select(col("id"),
-      element_at(col("sb"), 1).as("sig"),
+    val banded = withBands.select(
+      struct(col("id"), element_at(col("sb"), 1).as("sig")).as("e"),
       posexplode(slice(col("sb"), 2, 4)).as(Seq("band", "bucket")))
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+    // one shuffle + in-bucket pair generation (see minhash); the 8-byte sig
+    // rides along inside the (id, sig) struct so the hamming verify needs no
+    // join back
+    banded
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col("e"))).as("es"))
+      .where(size(col("es")) > 1)
+      .select(explode(array_pairs(col("es"))).as("p"))
+      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+        bit_count(col("p.a.sig").bitwiseXOR(col("p.b.sig"))).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
@@ -130,13 +146,17 @@ object Dedup {
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     val banded = vecs.select(col("id"),
       posexplode(hyperplane_bands(col("v"), bands, rowsPerBand)).as(Seq("band", "bucket")))
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
-    val pairs = l.join(r, Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+    // one shuffle + in-bucket pair generation (see minhash)
+    val pairs = banded
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(array_pairs(col("ids"))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
+    // re-spread tiny pair rows before the verify (see minhashCandidates)
     pairs
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id_a"), col("id_b"))
       .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
       .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .withColumn("cosine", cosine_sim(col("v_a"), col("v_b")))

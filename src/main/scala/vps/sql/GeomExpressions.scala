@@ -39,12 +39,18 @@ case class StPoint(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
-case class StGeomFromWkt(child: Expression)
+/** WKT parse; malformed input yields null (row kept) and, when an error
+  * channel is attached, increments its accumulator — the reference's
+  * RobustFeature/ErrorHandler tolerance surface: no silent drops, a global
+  * malformed count with no extra job.
+  */
+case class StGeomFromWkt(child: Expression, errors: Option[vps.geom.ErrorChannel] = None)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = GeometryUDT.Instance
   override def nullSafeEval(s: Any): Any =
-    try Wkb.write(Wkt.read(s.asInstanceOf[UTF8String].toString)) catch { case _: Exception => null }
-  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+    try Wkb.write(Wkt.read(s.asInstanceOf[UTF8String].toString))
+    catch { case _: Exception => errors.foreach(_.increment()); null }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 case class StAsText(child: Expression) extends UnaryExpression with CodegenFallback {
@@ -298,16 +304,22 @@ case class ParentTileKeys(child: Expression) extends UnaryExpression with Codege
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
-/** Dimension-preserving clip of a lon/lat geometry to tile (z, x, y). */
-case class StClipToTile(first: Expression, second: Expression, third: Expression, fourth: Expression)
+/** Dimension-preserving clip of a lon/lat geometry to tile (z, x, y). An
+  * attached error channel counts intersection timeouts/failures (where the
+  * original geometry passes through, reference `Clipping.scala` semantics).
+  */
+case class StClipToTile(first: Expression, second: Expression, third: Expression, fourth: Expression,
+    errors: Option[vps.geom.ErrorChannel] = None)
     extends QuaternaryExpression with CodegenFallback {
   override def dataType: DataType = GeometryUDT.Instance
   override def nullSafeEval(b: Any, z: Any, x: Any, y: Any): Any = {
     val env = TileMath.tileEnvelopeLatLng(z.asInstanceOf[Int], x.asInstanceOf[Int], y.asInstanceOf[Int])
-    Wkb.write(Clip(Wkb.read(b.asInstanceOf[Array[Byte]]), env))
+    Wkb.write(Clip(Wkb.read(b.asInstanceOf[Array[Byte]]), env,
+      onFailure = () => errors.foreach(_.increment())))
   }
   override protected def withNewChildrenInternal(
-      f: Expression, s: Expression, t: Expression, q: Expression): Expression = copy(f, s, t, q)
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(first = f, second = s, third = t, fourth = q)
 }
 
 case class StSimplify(first: Expression, second: Expression, third: Expression)
@@ -335,6 +347,11 @@ object functions {
   def st_point(lon: Column, lat: Column): Column =
     c(StPoint(ex(lon.cast("double")), ex(lat.cast("double"))))
   def st_geomFromWKT(wkt: Column): Column = c(StGeomFromWkt(ex(wkt)))
+  /** Tolerant parse: malformed WKT -> null geometry (row kept) + one tick on
+    * the error channel's accumulator.
+    */
+  def st_geomFromWKT(wkt: Column, errors: vps.geom.ErrorChannel): Column =
+    c(StGeomFromWkt(ex(wkt), Some(errors)))
   def st_geomFromWKB(wkb: Column): Column = c(StGeomFromWkb(ex(wkb)))
   def st_asText(g: Column): Column = c(StAsText(ex(g)))
   def st_asWKB(g: Column): Column = c(StAsWkb(ex(g)))
@@ -367,6 +384,8 @@ object functions {
   def parent_tile_keys(keys: Column): Column = c(ParentTileKeys(ex(keys)))
   def st_clipToTile(g: Column, z: Column, x: Column, y: Column): Column =
     c(StClipToTile(ex(g), ex(z), ex(x), ex(y)))
+  def st_clipToTile(g: Column, z: Column, x: Column, y: Column, errors: vps.geom.ErrorChannel): Column =
+    c(StClipToTile(ex(g), ex(z), ex(x), ex(y), Some(errors)))
   def st_simplify(g: Column, tolerance: Column, preserveTopology: Boolean = true): Column =
     c(StSimplify(ex(g), ex(tolerance), ex(lit(preserveTopology))))
 

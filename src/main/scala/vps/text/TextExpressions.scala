@@ -141,8 +141,13 @@ object TextOps {
   }
 
   /** Rolling-hash fingerprint of the full document (winnowing-free baseline). */
-  def fingerprint(s: String): Long =
-    if (s == null) 0L else mix64(s.foldLeft(0L)((h, c) => h * 1315423911L + c))
+  def fingerprint(s: String): Long = {
+    if (s == null) return 0L
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = h * 1315423911L + s.charAt(i); i += 1 }
+    mix64(h)
+  }
 
   // ---- language id: tiny stopword-profile heuristic ----
   private val Profiles: Map[String, Set[String]] = Map(
@@ -247,6 +252,37 @@ case class LangId(child: Expression) extends UnaryExpression with CodegenFallbac
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** All unordered pairs (i < j) of an array's elements, as array<struct<a, b>>.
+  * The LSH-bucket pair generator: a bucket's C(n,2) candidate pairs emerge
+  * from ONE aggregated row instead of a bucket self-join, so the (expensive)
+  * per-document signatures are computed exactly once. Feed it a sorted array
+  * for deterministic (a < b) pair orientation.
+  */
+case class ArrayPairs(child: Expression) extends UnaryExpression with CodegenFallback {
+  private lazy val elemType = child.dataType.asInstanceOf[ArrayType].elementType
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("a", elemType, nullable = false),
+      StructField("b", elemType, nullable = false))), containsNull = false)
+  override def nullSafeEval(arr: Any): Any = {
+    val a = arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = a.numElements()
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val ei = a.get(i, elemType)
+      var j = i + 1
+      while (j < n) {
+        out(k) = org.apache.spark.sql.catalyst.InternalRow(ei, a.get(j, elemType))
+        k += 1; j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** Fixed pseudo-random hyperplane components for multi-band sign LSH over
   * embeddings. Seed-free (mix64 of the (band, plane, dim) index), so buckets
   * reproduce across runs and cluster sizes; memoized per (bands, rows, dim)
@@ -341,6 +377,8 @@ object functions {
   def cosine_sim(a: Column, b: Column): Column = c(CosineSim(ex(a), ex(b)))
   def hyperplane_bands(v: Column, bands: Int, rowsPerBand: Int): Column =
     c(HyperplaneBands(ex(v), ex(lit(bands)), ex(lit(rowsPerBand))))
+  /** All unordered element pairs (i < j) as array<struct<a, b>>. */
+  def array_pairs(arr: Column): Column = c(ArrayPairs(ex(arr)))
 
   /** whitespace token count as a pure builtin composition (oracle-friendly). */
   def token_count(text: Column): Column =

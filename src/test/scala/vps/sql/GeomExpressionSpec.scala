@@ -75,6 +75,27 @@ class GeomExpressionSpec extends AnyFunSuite {
     assert(cIn && !cOut && d === 10.0)
   }
 
+  test("malformed WKT: rows kept as nulls, error channel counts them") {
+    val ch = vps.geom.GeomErrors.channel(spark, "wkt-test")
+    val rows = Seq("POINT (1 2)", "garbage", "LINESTRING(bad", "POINT (3 4)").toDF("wkt")
+      .select(st_geomFromWKT($"wkt", ch).as("g"))
+      .collect() // ONE evaluation: accumulator ticks once per malformed row
+    assert(rows.length === 4, "malformed rows must not be dropped")
+    assert(rows.count(_.isNullAt(0)) === 2)
+    assert(ch.count === 2)
+  }
+
+  test("clip failure channel stays silent on clean clips") {
+    val ch = vps.geom.GeomErrors.channel(spark, "clip-test")
+    val z = 8; val x = 128; val y = 128
+    val env = TileMath.tileEnvelopeLatLng(z, x, y)
+    val midLat = (env.getMinY + env.getMaxY) / 2
+    Seq(s"LINESTRING (-10 $midLat, 10 $midLat)").toDF("wkt")
+      .select(st_clipToTile(st_geomFromWKT($"wkt"), lit(z), lit(x), lit(y), ch).as("g"))
+      .collect()
+    assert(ch.count === 0)
+  }
+
   test("st_within argument order: st_within(a, b) means 'a within b' (PostGIS)") {
     val df = Seq(("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))", "POINT (5 5)"))
       .toDF("poly", "pt")
