@@ -85,6 +85,12 @@ object Bench {
     }
     val pipRowsPerSec = nPoints / pipSec // probe throughput: points scanned/sec
 
+    // projected variant: primitive (id, poly_id) output, no per-hit Row build
+    val (pipIdsRows, pipIdsSec) = timedWarm {
+      vps.joins.SpatialJoins.pipBroadcastIds(points, polys).count()
+    }
+    val pipIdsRowsPerSec = nPoints / pipIdsSec
+
     val (pipCellRows, pipCellSec) = timedWarm {
       vps.joins.SpatialJoins.pipCellJoin(points, polys, level = 7).count()
     }
@@ -124,6 +130,7 @@ object Bench {
     val headline =
       f"""{"points":$nPoints,"tiles":$nTiles,"tiles_per_sec":$tilesPerSec%.1f,"tile_sec":$tileSec%.2f,""" +
         f""""pip_rows_per_sec":$pipRowsPerSec%.1f,"pip_out_rows":$pipRows,"pip_sec":$pipSec%.2f,""" +
+        f""""pip_ids_rows_per_sec":$pipIdsRowsPerSec%.1f,"pip_ids_out_rows":$pipIdsRows,"pip_ids_sec":$pipIdsSec%.2f,""" +
         f""""pip_cell_rows_per_sec":$pipCellRowsPerSec%.1f,"pip_cell_out_rows":$pipCellRows,"pip_cell_sec":$pipCellSec%.2f,""" +
         f""""knn_vectors":$nVecs,"knn_vec_rows_per_sec":$knnRowsPerSec%.1f,"knn_sec":$knnSec%.2f,""" +
         f""""knn_geo_out_rows":$knnGeoRows,"knn_geo_sec":$knnGeoSec%.2f}"""

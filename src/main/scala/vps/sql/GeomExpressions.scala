@@ -163,6 +163,39 @@ case class StToLonLat(child: Expression) extends GeomUnary {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** General closed-form reprojection between EPSG:4326 / EPSG:3857 / UTM
+  * (EPSG:326xx/327xx) — the reference's `st_reprojectGeom` surface
+  * (`vectortile/package.scala:28-39`) without a native proj dependency.
+  * CRS codes must be foldable (validated once at plan time).
+  */
+case class StReproject(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  import vps.geom.Proj
+  override def dataType: DataType = GeometryUDT.Instance
+  @transient private lazy val crsPair: Option[(Proj.Crs, Proj.Crs)] =
+    for {
+      f <- Option(second.eval(InternalRow.empty))
+      t <- Option(third.eval(InternalRow.empty))
+    } yield (Proj.parse(f.toString), Proj.parse(t.toString))
+  override def nullSafeEval(b: Any, fromC: Any, toC: Any): Any = {
+    val (from, to) = crsPair.getOrElse(
+      (Proj.parse(fromC.asInstanceOf[UTF8String].toString),
+        Proj.parse(toC.asInstanceOf[UTF8String].toString)))
+    if (from == to) return b
+    val g = Wkb.read(b.asInstanceOf[Array[Byte]]).copy()
+    g.apply(new org.locationtech.jts.geom.CoordinateFilter {
+      override def filter(c: org.locationtech.jts.geom.Coordinate): Unit = {
+        val (x, y) = Proj.transform(c.x, c.y, from, to)
+        c.x = x; c.y = y
+      }
+    })
+    g.geometryChanged()
+    Wkb.write(g)
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(f, s, t)
+}
+
 /** Thread-local LRU of parsed + prepared geometries, keyed by WKB content.
   * Spatial joins evaluate predicates with a small set of repeated geometries on
   * one side (polygons exploded over cells); caching turns a per-pair WKB parse
@@ -365,6 +398,9 @@ object functions {
   def st_geometryType(g: Column): Column = c(StGeometryType(ex(g)))
   def st_toWebMercator(g: Column): Column = c(StToWebMercator(ex(g)))
   def st_toLonLat(g: Column): Column = c(StToLonLat(ex(g)))
+  /** Reproject between EPSG:4326, EPSG:3857 and UTM (EPSG:326xx/327xx). */
+  def st_reproject(g: Column, fromCrs: String, toCrs: String): Column =
+    c(StReproject(ex(g), ex(lit(fromCrs)), ex(lit(toCrs))))
   def st_contains(a: Column, b: Column): Column = c(StContains(ex(a), ex(b)))
   def st_intersects(a: Column, b: Column): Column = c(StIntersects(ex(a), ex(b)))
   def st_within(a: Column, b: Column): Column = c(StWithin(ex(a), ex(b)))
@@ -408,6 +444,7 @@ object functions {
     r("cell_at", e => CellAt(e(0), e(1), e(2)))
     r("cell_kring", e => CellKRing(e(0), e(1)))
     r("tile_keys", e => TileKeysOf(e(0), e(1)))
+    r("st_reproject", e => StReproject(e(0), e(1), e(2)))
   }
 }
 

@@ -1,0 +1,50 @@
+package vps.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Pyramid strategy comparison for BENCH/BASELINE.md: per-zoom recompute
+  * (pyramid: simplify + tile_keys from the full corpus at EVERY zoom) vs
+  * parent re-key (pyramidRekey: keys computed once at maxZoom, halved per
+  * zoom). Usage: runMain vps.tools.PyramidBench [sfDir] [replication] [cpus]
+  */
+object PyramidBench {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val replication = args.lift(1).map(_.toInt).getOrElse(3000)
+    val cpus = args.lift(2).map(_.toInt).getOrElse(16)
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus * 2)
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/spark-pyr-local" else "/tmp")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = vps.docs.InterleavedDocs.fromDocuments(spark, dir, replication)
+      .repartition(cpus * 3)
+    val points = vps.docs.InterleavedDocs.extractGeoSpans(docs)
+      .select((col("id") * 10 + col("span_offset")).as("id"), col("geom"))
+      .persist()
+    println("points=" + points.count())
+    val (minZ, maxZ) = (6, 12)
+
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val a = f
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.1f s"); a
+    }
+
+    val rekeyStats = time("pyramidRekey 6-12") {
+      vps.tiling.TilePipeline.pyramidRekey(points, minZ, maxZ)((_, _) => ())
+    }
+    println("rekey per-zoom (z, tiles, features): " + rekeyStats.mkString(" "))
+
+    val baseStats = time("pyramid (per-zoom recompute) 6-12") {
+      vps.tiling.TilePipeline.pyramid(points, minZ, maxZ).map { case (z, ds) =>
+        val r = ds.toDF().agg(count(lit(1)), sum(col("features").cast("long"))).head()
+        (z, r.getLong(0), r.getLong(1))
+      }
+    }
+    println("recompute per-zoom: " + baseStats.mkString(" "))
+    require(baseStats.toSet == rekeyStats.toSet, "tile/feature counts must match")
+    spark.stop()
+  }
+}

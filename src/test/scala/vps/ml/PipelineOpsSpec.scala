@@ -127,6 +127,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     (0L until 3L).foreach(q => assert(ivfPart(q) === q))
   }
 
+  test("ivf recall: >=0.9 at nProbe=4 on clustered data (uniform data has no structure to exploit)") {
+    // 16 deterministic centers + noise -> cosine-tight clusters. The sf
+    // embeddings are uniform-random (true top-10 label agreement == chance),
+    // where no coarse quantizer concentrates neighbors; recall targets only
+    // make sense where structure exists.
+    val dim = 32
+    val centers = vps.text.Hyperplanes.planes(16, 1, dim)
+    val clustered = (0 until 1000).map { i =>
+      val c = centers(i % 16)
+      val v = Array.tabulate(dim) { d =>
+        val h = TextOps.mix64(i.toLong * 1315423911L + d)
+        (c(d) + 0.15 * (((h >>> 11) * (1.0 / (1L << 53))) * 2 - 1)).toFloat
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val queries = clustered.where($"vec_id" < 16)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val recall = VectorSearch.recallAtK(clustered, queries, k = 10,
+      numCentroids = 16, nProbes = Seq(4), trainIters = 3).head._2
+    assert(recall >= 0.9, s"recall@10 nProbe=4 was $recall")
+  }
+
   test("text analysis: lang_id, token_count, fingerprint, quality") {
     assert(TextOps.langId("the cat sat on the mat and it was happy") === "en")
     assert(TextOps.langId("el perro y la casa de los niños en madrid") === "es")

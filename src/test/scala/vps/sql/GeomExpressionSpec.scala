@@ -129,6 +129,20 @@ class GeomExpressionSpec extends AnyFunSuite {
     assert(r === ((2046, 1362, "POINT (1.5 2.5)")))
   }
 
+  test("st_reproject: 4326 -> UTM -> 3857 -> 4326 round trip in a plan") {
+    val df = Seq((15.5, 47.1)).toDF("lon", "lat")
+      .select(st_point($"lon", $"lat").as("g"))
+      .select(st_reproject($"g", "EPSG:4326", "EPSG:32633").as("utm"))
+    val (e, n) = df.select(st_x($"utm"), st_y($"utm")).as[(Double, Double)].head()
+    val (expE, expN) = vps.geom.Proj.lonLatToUtm(15.5, 47.1, 33, south = false)
+    assert(math.abs(e - expE) < 1e-6 && math.abs(n - expN) < 1e-6)
+    val (lon, lat) = df
+      .select(st_reproject($"utm", "EPSG:32633", "EPSG:3857").as("m"))
+      .select(st_reproject($"m", "EPSG:3857", "EPSG:4326").as("ll"))
+      .select(st_x($"ll"), st_y($"ll")).as[(Double, Double)].head()
+    assert(math.abs(lon - 15.5) < 1e-9 && math.abs(lat - 47.1) < 1e-9)
+  }
+
   test("reprojection closed forms") {
     val df = Seq("POINT (10 45)").toDF("wkt").select(st_geomFromWKT($"wkt").as("g"))
     val (mx, my) = df.select(st_x(st_toWebMercator($"g")), st_y(st_toWebMercator($"g")))
