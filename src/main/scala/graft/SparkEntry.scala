@@ -342,6 +342,18 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- quality scoring (builtin compositions, fully SQL-checkable) ----
+    "q31_quality" -> ((s, dir) => {
+      docsT(s, dir)
+        .select(col("doc_id"), quality_features(col("text")).as("q"))
+        .select(col("doc_id"),
+          col("q.n_chars").cast("long").as("n_chars"),
+          col("q.n_tokens").cast("long").as("n_tokens"),
+          floor(col("q.chars_per_token") * 1000).cast("long").as("cpt_e3"),
+          floor(col("q.punct_ratio") * 100000).cast("long").as("punct_e5"))
+        .orderBy("doc_id")
+    }),
+
     // ---- reverse geocode (broadcast pip + per-row region names) ----
     "q30_geocode" -> ((s, dir) => {
       val pts = geoPoints(s, dir)
@@ -542,6 +554,18 @@ object SparkEntry {
           |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(qs.q AS DOUBLE[])) DESC,
           |               e.vec_id) AS rn
           |  FROM embeddings e, qs) WHERE rn <= 3 ORDER BY query_id, rank""".stripMargin,
+      "q31_quality" ->
+        """SELECT doc_id,
+          |  CAST(length(text) AS BIGINT) AS n_chars,
+          |  CAST(n_tokens AS BIGINT) AS n_tokens,
+          |  CAST(floor(CAST(length(text) AS DOUBLE) / greatest(n_tokens, 1) * 1000) AS BIGINT) AS cpt_e3,
+          |  CAST(floor(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+          |       / greatest(length(text), 1) * 100000) AS BIGINT) AS punct_e5
+          |FROM (SELECT doc_id, text,
+          |        CASE WHEN length(trim(text)) = 0 THEN 0
+          |             ELSE length(string_split_regex(trim(text), '\s+')) END AS n_tokens
+          |      FROM documents)
+          |ORDER BY doc_id""".stripMargin,
       "q30_geocode" ->
         s"""WITH pts AS (SELECT id * 10 + span_offset AS pt_id, lon, lat FROM ($geoSpansSql)),
            | polys AS (

@@ -123,6 +123,70 @@ object Mvt {
     Some(w.toBytes)
   }
 
+  // ---------------- pre-encoded (raw) feature path ----------------
+  //
+  // The tiling pipeline encodes geometry command-ints MAP-SIDE (phase 1, while
+  // the feature is already in tile-local coords) so the tile-merge shuffle
+  // carries the packed varint payload — smaller than WKB for points — and the
+  // per-tile merge never re-reads geometry. Byte-compatible with the
+  // MvtFeature path (spec-gated).
+
+  /** Geometry pre-encoded to the FeatGeometry field body. Empty payload =
+    * degenerate geometry (counted but not emitted, like encodeFeature's None).
+    * `area` is only populated when the layer orders polygons by area.
+    */
+  final case class RawFeature(id: Long, geomType: Int, geomPayload: Array[Byte], area: Double = 0.0)
+
+  /** (geomType, packed-varint payload bytes) of a tile-local geometry. */
+  def encodeGeometryPacked(g: Geometry): (Int, Array[Byte]) = {
+    val (t, cmds) = encodeGeometry(g)
+    if (cmds.isEmpty) (t, Array.emptyByteArray)
+    else {
+      val w = new PbWriter(cmds.size + 8)
+      cmds.foreach(w.writeVarint)
+      (t, w.toBytes)
+    }
+  }
+
+  private def encodeFeatureRaw(
+      f: RawFeature, keyIdx: String => Int, valIdx: MvtValue => Int): Option[Array[Byte]] = {
+    if (f.geomPayload.isEmpty) return None
+    val w = new PbWriter(64)
+    w.writeVarintField(FeatId, f.id)
+    w.writePackedVarints(FeatTags,
+      Seq(keyIdx("id").toLong, valIdx(MvtValue.I64(f.id)).toLong))
+    w.writeVarintField(FeatType, f.geomType.toLong)
+    w.writeBytesField(FeatGeometry, f.geomPayload)
+    Some(w.toBytes)
+  }
+
+  /** Layer bytes from pre-encoded features (each carrying the single "id"
+    * attribute) — byte-identical to `encodeLayer` over
+    * `MvtFeature(Some(id), geom, Seq("id" -> I64(id)))` in the same order.
+    */
+  def encodeLayerRawBytes(name: String, extent: Int, feats: Seq[RawFeature]): Array[Byte] = {
+    val keys = new mutable.LinkedHashMap[String, Int]
+    val values = new mutable.LinkedHashMap[MvtValue, Int]
+    def keyIdx(k: String): Int = keys.getOrElseUpdate(k, keys.size)
+    def valIdx(v: MvtValue): Int = values.getOrElseUpdate(v, values.size)
+    val featBytes = feats.flatMap(f => encodeFeatureRaw(f, keyIdx, valIdx))
+    val w = new PbWriter(4096)
+    w.writeVarintField(LayerVersion, 2L)
+    w.writeStringField(LayerName, name)
+    featBytes.foreach(b => w.writeBytesField(LayerFeatures, b))
+    keys.keysIterator.foreach(k => w.writeStringField(LayerKeys, k))
+    values.keysIterator.foreach(v => w.writeBytesField(LayerValues, encodeValue(v)))
+    w.writeVarintField(LayerExtent, extent.toLong)
+    w.toBytes
+  }
+
+  /** Tile bytes from already-encoded layer bodies. */
+  def encodeTileFromLayerBytes(layerBytes: Seq[Array[Byte]]): Array[Byte] = {
+    val w = new PbWriter(4096)
+    layerBytes.foreach(b => w.writeBytesField(TileLayers, b))
+    w.toBytes
+  }
+
   private def cmd(id: Int, count: Int): Long = ((count << 3) | id).toLong
 
   /** Command-integer stream for a geometry in tile coords. The cursor is shared

@@ -43,4 +43,15 @@ object TileBuilder {
       else polys
     MvtLayer(name, extent, version = 2, orderedPolys ++ lines ++ points)
   }
+
+  /** Same family ordering (polygons / lines / points, large areas first when
+    * `orderAreas`) for pre-encoded features — keeps the raw path byte-
+    * identical to [[buildLayer]] + encode.
+    */
+  def orderRawFeatures(feats: Seq[Mvt.RawFeature], orderAreas: Boolean): Seq[Mvt.RawFeature] = {
+    val (polys, rest) = feats.partition(_.geomType == Mvt.GeomPolygon)
+    val (lines, points) = rest.partition(_.geomType == Mvt.GeomLine)
+    val orderedPolys = if (orderAreas) polys.sortBy(f => -f.area) else polys
+    orderedPolys ++ lines ++ points
+  }
 }

@@ -30,7 +30,8 @@ object GeomOps {
 }
 
 case class StPoint(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with org.apache.spark.sql.vps.VpsImplicitCasts {
+  override protected def coerceTo: Seq[DataType] = Seq(DoubleType, DoubleType)
   override def dataType: DataType = GeometryUDT.Instance
   override def nullSafeEval(lon: Any, lat: Any): Any =
     GeomOps.point(lon.asInstanceOf[Double], lat.asInstanceOf[Double])
@@ -256,7 +257,8 @@ case class StDistance(left: Expression, right: Expression)
 // ---------- tile / cell math (codegen'd: pure arithmetic hot path) ----------
 
 case class TileXOf(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with org.apache.spark.sql.vps.VpsImplicitCasts {
+  override protected def coerceTo: Seq[DataType] = Seq(DoubleType, IntegerType)
   override def dataType: DataType = IntegerType
   override def nullSafeEval(lon: Any, z: Any): Any =
     TileMath.tileX(lon.asInstanceOf[Double], z.asInstanceOf[Int])
@@ -266,7 +268,8 @@ case class TileXOf(left: Expression, right: Expression)
 }
 
 case class TileYOf(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with org.apache.spark.sql.vps.VpsImplicitCasts {
+  override protected def coerceTo: Seq[DataType] = Seq(DoubleType, IntegerType)
   override def dataType: DataType = IntegerType
   override def nullSafeEval(lat: Any, z: Any): Any =
     TileMath.tileY(lat.asInstanceOf[Double], z.asInstanceOf[Int])
@@ -277,7 +280,8 @@ case class TileYOf(left: Expression, right: Expression)
 
 /** H3/S2-style cell id of a lon/lat at a level — codegen'd Z-order packing. */
 case class CellAt(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression {
+    extends TernaryExpression with org.apache.spark.sql.vps.VpsImplicitCasts {
+  override protected def coerceTo: Seq[DataType] = Seq(DoubleType, DoubleType, IntegerType)
   override def dataType: DataType = LongType
   override def nullSafeEval(lon: Any, lat: Any, lvl: Any): Any =
     CellId.fromLonLat(lon.asInstanceOf[Double], lat.asInstanceOf[Double], lvl.asInstanceOf[Int])
@@ -288,7 +292,8 @@ case class CellAt(first: Expression, second: Expression, third: Expression)
 }
 
 case class CellParent(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with org.apache.spark.sql.vps.VpsImplicitCasts {
+  override protected def coerceTo: Seq[DataType] = Seq(LongType, IntegerType)
   override def dataType: DataType = LongType
   override def nullSafeEval(cell: Any, lvl: Any): Any =
     CellId.parent(cell.asInstanceOf[Long], lvl.asInstanceOf[Int])
@@ -298,7 +303,8 @@ case class CellParent(left: Expression, right: Expression)
 }
 
 case class CellKRing(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with CodegenFallback with org.apache.spark.sql.vps.VpsImplicitCasts {
+  override protected def coerceTo: Seq[DataType] = Seq(LongType, IntegerType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(cell: Any, k: Any): Any =
     new GenericArrayData(CellId.kRing(cell.asInstanceOf[Long], k.asInstanceOf[Int]).toArray)
@@ -313,7 +319,8 @@ object TileKeysOf {
 
 /** All ZXY keys whose tile intersects the geometry envelope (reference `keyTo`). */
 case class TileKeysOf(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with CodegenFallback with org.apache.spark.sql.vps.VpsImplicitCasts {
+  override protected def coerceTo: Seq[DataType] = Seq(GeometryUDT.Instance, IntegerType)
   override def dataType: DataType = ArrayType(TileKeysOf.elementType, containsNull = false)
   override def nullSafeEval(b: Any, z: Any): Any = {
     val keys = TileMath.keysForGeometry(Wkb.read(b.asInstanceOf[Array[Byte]]), z.asInstanceOf[Int])
@@ -343,7 +350,9 @@ case class ParentTileKeys(child: Expression) extends UnaryExpression with Codege
   */
 case class StClipToTile(first: Expression, second: Expression, third: Expression, fourth: Expression,
     errors: Option[vps.geom.ErrorChannel] = None)
-    extends QuaternaryExpression with CodegenFallback {
+    extends QuaternaryExpression with CodegenFallback with org.apache.spark.sql.vps.VpsImplicitCasts {
+  override protected def coerceTo: Seq[DataType] =
+    Seq(GeometryUDT.Instance, IntegerType, IntegerType, IntegerType)
   override def dataType: DataType = GeometryUDT.Instance
   override def nullSafeEval(b: Any, z: Any, x: Any, y: Any): Any = {
     val env = TileMath.tileEnvelopeLatLng(z.asInstanceOf[Int], x.asInstanceOf[Int], y.asInstanceOf[Int])
@@ -356,7 +365,8 @@ case class StClipToTile(first: Expression, second: Expression, third: Expression
 }
 
 case class StSimplify(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression with CodegenFallback with org.apache.spark.sql.vps.VpsImplicitCasts {
+  override protected def coerceTo: Seq[DataType] = Seq(GeometryUDT.Instance, DoubleType, BooleanType)
   override def dataType: DataType = GeometryUDT.Instance
   override def nullSafeEval(b: Any, tol: Any, preserve: Any): Any = {
     val g = Wkb.read(b.asInstanceOf[Array[Byte]])
@@ -367,6 +377,50 @@ case class StSimplify(first: Expression, second: Expression, third: Expression)
   }
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
     copy(f, s, t)
+}
+
+object TileFragments {
+  val elementType: StructType = StructType(Seq(
+    StructField("geomType", IntegerType, nullable = false),
+    StructField("area", DoubleType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+}
+
+/** Fused clip → tile-local transform → MVT command-int encode, emitting 0 or 1
+  * pre-encoded fragments (empty array = clip produced nothing). Children:
+  * (geom, zoom, x, y, extent, withArea).
+  *
+  * Returning an ARRAY consumed by `explode` is deliberate: a scalar
+  * fragment + `WHERE isNotNull(...)` would let predicate pushdown substitute
+  * the alias and evaluate the (expensive) clip twice per row; a generator
+  * evaluates once. Encoding before the tile exchange means the shuffle carries
+  * command-int payloads (a point is ~4-8 bytes vs 21-byte WKB) and the
+  * post-shuffle phases never touch geometry again.
+  */
+case class TileFragments(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  require(children.length == 6, "tile_fragments(geom, zoom, x, y, extent, withArea)")
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(TileFragments.elementType, containsNull = false)
+  private val Empty = new GenericArrayData(Array.empty[Any])
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.exists(_ == null)) return Empty
+    val Seq(wkb, z, x, y, extent, withArea) = vs
+    val zi = z.asInstanceOf[Int]; val xi = x.asInstanceOf[Int]; val yi = y.asInstanceOf[Int]
+    val env = TileMath.tileEnvelopeLatLng(zi, xi, yi)
+    val clipped = Clip(Wkb.read(wkb.asInstanceOf[Array[Byte]]), env)
+    if (clipped.isEmpty) Empty
+    else {
+      val local = vps.mvt.TileBuilder.lonLatToTile(zi, xi, yi, extent.asInstanceOf[Int])
+        .transform(clipped)
+      val (geomType, payload) = vps.mvt.Mvt.encodeGeometryPacked(local)
+      val area = if (withArea.asInstanceOf[Boolean]) local.getArea else 0.0
+      new GenericArrayData(Array[Any](InternalRow(geomType, area, payload)))
+    }
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(children = cs)
 }
 
 /** Column-facing API (the engine's `functions._`). */
@@ -420,6 +474,12 @@ object functions {
   def parent_tile_keys(keys: Column): Column = c(ParentTileKeys(ex(keys)))
   def st_clipToTile(g: Column, z: Column, x: Column, y: Column): Column =
     c(StClipToTile(ex(g), ex(z), ex(x), ex(y)))
+  /** 0-or-1 pre-encoded MVT fragments; consume with `explode` (see
+    * [[TileFragments]]).
+    */
+  def tile_fragments(g: Column, zoom: Int, x: Column, y: Column, extent: Int, withArea: Boolean): Column =
+    c(TileFragments(Seq(ex(g), ex(lit(zoom)), ex(x.cast("int")), ex(y.cast("int")),
+      ex(lit(extent)), ex(lit(withArea)))))
   def st_clipToTile(g: Column, z: Column, x: Column, y: Column, errors: vps.geom.ErrorChannel): Column =
     c(StClipToTile(ex(g), ex(z), ex(x), ex(y), Some(errors)))
   def st_simplify(g: Column, tolerance: Column, preserveTopology: Boolean = true): Column =

@@ -187,7 +187,8 @@ case class MinHashSig(first: Expression, second: Expression, third: Expression)
   * recompute.)
   */
 case class MinHashBands(first: Expression, second: Expression, third: Expression, fourth: Expression)
-    extends QuaternaryExpression with CodegenFallback {
+    extends QuaternaryExpression with CodegenFallback with org.apache.spark.sql.vps.VpsImplicitCasts {
+  override protected def coerceTo: Seq[DataType] = Seq(StringType, IntegerType, IntegerType, IntegerType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(s: Any, n: Any, b: Any, k: Any): Any = {
     val numHashes = n.asInstanceOf[Int]
@@ -230,7 +231,8 @@ case class SimHashBands(child: Expression) extends UnaryExpression with CodegenF
 }
 
 case class NgramJaccard(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression with CodegenFallback with org.apache.spark.sql.vps.VpsImplicitCasts {
+  override protected def coerceTo: Seq[DataType] = Seq(StringType, StringType, IntegerType)
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any, n: Any): Any =
     TextOps.jaccard(a.asInstanceOf[UTF8String].toString, b.asInstanceOf[UTF8String].toString,

@@ -24,11 +24,16 @@ final case class TileRow(zoom: Int, x: Int, y: Int, mvt: Array[Byte], features: 
 
 /** Phase-1 packed features for one (tile, salt) bucket. `layers(i)` is null in
   * single-layer mode (resolved to Options.layerName at encode time), so the
-  * common case pays one null bit per feature, not a repeated string.
+  * common case pays one null bit per feature, not a repeated string. `geoms`
+  * are PRE-ENCODED MVT geometry payloads (command ints in tile-local coords),
+  * not WKB: smaller through the merge shuffle (a point is ~4-8 varint bytes vs
+  * 21 WKB bytes) and phase 2 never re-parses geometry. `areas` ride along only
+  * when Options.orderAreas needs them (0.0 otherwise).
   */
 private[tiling] final case class Partial(
     x: Int, y: Int, salt: Int,
-    ids: Array[Long], layers: Array[String], geoms: Array[Array[Byte]])
+    ids: Array[Long], layers: Array[String], types: Array[Int],
+    areas: Array[Double], geoms: Array[Array[Byte]])
 
 object TilePipeline {
 
@@ -58,7 +63,12 @@ object TilePipeline {
         * groupByKey exchange already distributes by (tile, salt), and clipping
         * map-side removes a full-corpus shuffle.
         */
-      spreadBeforeClip: Boolean = false)
+      spreadBeforeClip: Boolean = false,
+      /** A/B switch (measurement): carry clipped WKB through the phase-1
+        * exchange and encode command-ints inside phase 1, instead of the fused
+        * pre-exchange encode. Output bytes identical either way.
+        */
+      wkbPhase1: Boolean = false)
 
   /** Tile one zoom level. Input: (id: long, geom: GeometryUDT) [+ ignored extra
     * columns]. Deterministic output: per tile, features sorted by id.
@@ -113,46 +123,75 @@ object TilePipeline {
     val spread =
       if (opts.spreadBeforeClip) exploded.repartition(col("x"), col("y"), col("salt"))
       else exploded
-    val clipped = spread
-      .withColumn("geom", st_clipToTile(col("geom"), lit(zoom), col("x"), col("y")))
-      .where(!st_isEmpty(col("geom")))
 
-    // phase 1: pack features per (tile, salt) — geometry already clipped; store
-    // tile-local coords so phase 2 only concatenates + encodes
     implicit val partialEnc = Encoders.product[Partial]
-    val partials = clipped
-      .select(col("x"), col("y"), col("salt"), col("id"), col("layer"), st_asWKB(col("geom")).as("wkb"))
-      .as[(Int, Int, Int, Long, String, Array[Byte])]
-      .groupByKey(r => (r._1, r._2, r._3))
-      .mapGroups[Partial] { (key: (Int, Int, Int), rows: Iterator[(Int, Int, Int, Long, String, Array[Byte])]) =>
-        val (x, y, salt) = key
-        // one affine transform per (tile, salt) group, not per feature
-        val toTile = TileBuilder.lonLatToTile(zoom, x, y, opts.extent)
-        val feats = rows.map { case (_, _, _, id, layer, wkb) =>
-          (id, layer, Wkb.write(toTile.transform(Wkb.read(wkb))))
-        }.toArray.sortBy(_._1)
-        Partial(x, y, salt, feats.map(_._1), feats.map(_._2), feats.map(_._3))
-      }
+    val partials = if (opts.wkbPhase1) {
+      // A/B alternative: clipped WKB through the exchange, encode in phase 1
+      val clipped = spread
+        .withColumn("geom", st_clipToTile(col("geom"), lit(zoom), col("x"), col("y")))
+        .where(!st_isEmpty(col("geom")))
+      clipped
+        .select(col("x"), col("y"), col("salt"), col("id"), col("layer"), st_asWKB(col("geom")).as("wkb"))
+        .as[(Int, Int, Int, Long, String, Array[Byte])]
+        .groupByKey(r => (r._1, r._2, r._3))
+        .mapGroups[Partial] { (key: (Int, Int, Int), rows: Iterator[(Int, Int, Int, Long, String, Array[Byte])]) =>
+          val (x, y, salt) = key
+          val toTile = TileBuilder.lonLatToTile(zoom, x, y, opts.extent)
+          val feats = rows.map { case (_, _, _, id, layer, wkb) =>
+            val g = toTile.transform(Wkb.read(wkb))
+            val (geomType, payload) = Mvt.encodeGeometryPacked(g)
+            (id, layer, geomType, if (opts.orderAreas) g.getArea else 0.0, payload)
+          }.toArray.sortBy(_._1)
+          Partial(x, y, salt, feats.map(_._1), feats.map(_._2), feats.map(_._3),
+            feats.map(_._4), feats.map(_._5))
+        }
+    } else {
+      // clip -> tile-local transform -> MVT command-int encode, fused in ONE
+      // generator BEFORE the tile exchange: the shuffle carries pre-encoded
+      // fragments (points: ~4-8 bytes vs 21-byte WKB), geometry is parsed
+      // exactly once per (feature, tile), and empty clips vanish without a
+      // pushdown-duplicated isEmpty predicate
+      val frags = spread
+        .select(col("x"), col("y"), col("salt"), col("id"), col("layer"),
+          explode(tile_fragments(col("geom"), zoom, col("x"), col("y"),
+            opts.extent, opts.orderAreas)).as("f"))
+        .select(col("x"), col("y"), col("salt"), col("id"), col("layer"),
+          col("f.geomType").as("gt"), col("f.area").as("area"), col("f.payload").as("payload"))
+
+      // phase 1: pack fragments per (tile, salt), id-sorted
+      frags
+        .as[(Int, Int, Int, Long, String, Int, Double, Array[Byte])]
+        .groupByKey(r => (r._1, r._2, r._3))
+        .mapGroups[Partial] { (key: (Int, Int, Int), rows: Iterator[(Int, Int, Int, Long, String, Int, Double, Array[Byte])]) =>
+          val (x, y, salt) = key
+          val feats = rows.map { case (_, _, _, id, layer, gt, area, payload) =>
+            (id, layer, gt, area, payload)
+          }.toArray.sortBy(_._1)
+          Partial(x, y, salt, feats.map(_._1), feats.map(_._2), feats.map(_._3),
+            feats.map(_._4), feats.map(_._5))
+        }
+    }
 
     // phase 2: merge partials per tile, group into named layers (sorted by
-    // name), deterministic id order inside each layer, encode MVT
+    // name), deterministic id order inside each layer, concatenate the
+    // pre-encoded fragments into layer + tile bytes
     partials
       .groupByKey(p => (p.x, p.y))
       .mapGroups[TileRow] { (key: (Int, Int), ps: Iterator[Partial]) =>
         val (x, y) = key
         val feats = ps.toArray.sortBy(_.salt).iterator.flatMap { p =>
-          p.ids.iterator.zip(p.layers.iterator).zip(p.geoms.iterator)
-            .map { case ((id, layer), wkb) => (if (layer == null) opts.layerName else layer, id, wkb) }
+          (0 until p.ids.length).iterator.map { i =>
+            (if (p.layers(i) == null) opts.layerName else p.layers(i),
+              Mvt.RawFeature(p.ids(i), p.types(i), p.geoms(i), p.areas(i)))
+          }
         }.toArray
         val layers = feats.groupBy(_._1).toSeq.sortBy(_._1).map { case (name, fs) =>
-          TileBuilder.buildLayer(name,
-            fs.sortBy(_._2).toSeq.map { case (_, id, wkb) =>
-              MvtFeature(Some(id), Wkb.read(wkb), Seq("id" -> MvtValue.I64(id)))
-            },
-            opts.extent, opts.orderAreas)
+          val ordered = TileBuilder.orderRawFeatures(
+            fs.map(_._2).sortBy(_.id).toSeq, opts.orderAreas)
+          (Mvt.encodeLayerRawBytes(name, opts.extent, ordered), fs.length)
         }
-        val bytes = Mvt.encode(MvtTile(layers))
-        TileRow(zoom, x, y, bytes, layers.iterator.map(_.features.size).sum)
+        val bytes = Mvt.encodeTileFromLayerBytes(layers.map(_._1))
+        TileRow(zoom, x, y, bytes, layers.iterator.map(_._2).sum)
       }
   }
 

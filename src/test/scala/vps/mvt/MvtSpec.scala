@@ -165,4 +165,30 @@ class MvtSpec extends AnyFunSuite {
       Seq("Polygon", "Polygon", "LineString", "Point"))
     assert(layer.features.head.geometry.getArea === 10000.0)
   }
+
+  test("raw pre-encoded layer bytes match the MvtFeature path byte-for-byte") {
+    val fixtures: Seq[(Long, String)] = Seq(
+      5L -> "POLYGON ((0 0, 100 0, 100 100, 0 100, 0 0), (20 20, 40 20, 40 40, 20 40, 20 20))",
+      2L -> "LINESTRING (0 0, 50 25, 100 50)",
+      9L -> "POINT (25 17)",
+      1L -> "POINT (99 3)",
+      7L -> "POLYGON ((10 10, 30 10, 30 30, 10 30, 10 10))",
+      3L -> "MULTIPOINT ((1 1), (2 2))")
+    Seq(false, true).foreach { orderAreas =>
+      val sorted = fixtures.sortBy(_._1)
+      val viaModel = Mvt.encode(MvtTile(Seq(TileBuilder.buildLayer("features",
+        sorted.map { case (id, w) =>
+          MvtFeature(Some(id), Wkt.read(w), Seq("id" -> MvtValue.I64(id)))
+        }, 4096, orderAreas))))
+      val raw = sorted.map { case (id, w) =>
+        val g = Wkt.read(w)
+        val (t, payload) = Mvt.encodeGeometryPacked(g)
+        Mvt.RawFeature(id, t, payload, if (orderAreas) g.getArea else 0.0)
+      }
+      val viaRaw = Mvt.encodeTileFromLayerBytes(Seq(
+        Mvt.encodeLayerRawBytes("features", 4096,
+          TileBuilder.orderRawFeatures(raw, orderAreas))))
+      assert(viaRaw.toSeq === viaModel.toSeq, s"orderAreas=$orderAreas")
+    }
+  }
 }

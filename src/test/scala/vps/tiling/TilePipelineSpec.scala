@@ -70,6 +70,18 @@ class TilePipelineSpec extends AnyFunSuite {
     assert(counts(2)._1 <= counts(3)._1 && counts(3)._1 <= counts(4)._1)
   }
 
+  test("fused-fragment and wkbPhase1 paths produce byte-identical tiles") {
+    val poly = Seq((424242L, "POLYGON ((-10 -10, 10 -10, 10 10, -10 10, -10 -10))"))
+      .toDF("id", "wkt").select($"id", st_geomFromWKT($"wkt").as("geom"))
+    val input = geoms.unionByName(poly)
+    val fused = TilePipeline.tileZoom(input, 5).collect()
+      .map(t => (t.x, t.y) -> t.mvt.toSeq).toMap
+    val wkb = TilePipeline.tileZoom(input, 5, TilePipeline.Options(wkbPhase1 = true))
+      .collect().map(t => (t.x, t.y) -> t.mvt.toSeq).toMap
+    assert(fused.keySet === wkb.keySet)
+    fused.foreach { case (k, bytes) => assert(wkb(k) === bytes, s"tile $k differs") }
+  }
+
   test("multi-layer tiles: features split into named layers by a string column") {
     val zoom = 4
     // id = doc_id*10 + span_offset (offset 1 or 3): id % 20 < 10 <=> doc_id even
