@@ -49,10 +49,9 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // ---- headline corpus: replicated interleaved docs -> geo points ----
-    // repartition right after the (single-file) scan so span synthesis + WKT
-    // parse run on all cores, not on the file's 1-2 input splits
+    // (fromDocuments spreads the single-file scan across cores BEFORE the
+    // replication explode, so corpus synthesis is parallel)
     val docs = vps.docs.InterleavedDocs.fromDocuments(spark, sfDir, replication)
-      .repartition(cpus * 3)
     val points = vps.docs.InterleavedDocs.extractGeoSpans(docs)
       .select((col("id") * 10 + col("span_offset")).as("id"), col("geom"))
       .persist()
@@ -98,9 +97,9 @@ object Bench {
 
     // 3) kNN over embeddings (brute exact, 64 queries)
     val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .repartition(cpus) // single-file scan: spread BEFORE the explode
       .withColumn("r", explode(lit((0 until replication).toArray)))
       .select((col("vec_id") * replication + col("r")).as("vec_id"), col("embedding"))
-      .repartition(cpus * 3)
       .persist()
     val nVecs = vecs.count()
     val queries = vecs.where(col("vec_id") % lit(replication) === 0).limit(64)

@@ -54,7 +54,12 @@ object InterleavedDocs {
     * kept alongside the string `doc_id` for joins; drop it for the pure shape.
     */
   def fromDocuments(spark: SparkSession, sfDir: String, replication: Int = 1): DataFrame = {
+    // spread the (few) base docs across all cores BEFORE the replication
+    // explode: the test-SF parquet is one file = one input split, and an
+    // explode upstream of any exchange would synthesize the whole replicated
+    // corpus in a single task
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
     val replicated =
       if (replication == 1) base.withColumn("id", col("doc_id").cast("long"))
       else base

@@ -14,7 +14,6 @@ object PipProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val docs = vps.docs.InterleavedDocs.fromDocuments(spark, "/root/testdata/sf0.1", 3000)
-      .repartition(cpus * 3)
     val points = vps.docs.InterleavedDocs.extractGeoSpans(docs)
       .select((col("id") * 10 + col("span_offset")).as("id"), col("geom")).persist()
     println("points=" + points.count())

@@ -23,7 +23,6 @@ object ScalingProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val docs = vps.docs.InterleavedDocs.fromDocuments(spark, "/root/testdata/sf0.1", replication)
-      .repartition(cpus * 3)
     val points = vps.docs.InterleavedDocs.extractGeoSpans(docs)
       .select((col("id") * 10 + col("span_offset")).as("id"), col("geom")).persist()
     val nPoints = points.count().toDouble
@@ -38,9 +37,10 @@ object ScalingProbe {
         col("lon0"), col("lat0"))).as("geom")).persist()
     polys.count()
     val vecs = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .repartition(cpus)
       .withColumn("r", explode(lit((0 until replication).toArray)))
       .select((col("vec_id") * replication + col("r")).as("vec_id"), col("embedding"))
-      .repartition(cpus * 3).persist()
+      .persist()
     val nVecs = vecs.count().toDouble
     val queries = vecs.where(col("vec_id") % lit(replication) === 0).limit(64)
       .select(col("vec_id").as("query_id"), col("embedding"))

@@ -21,7 +21,6 @@ object SoakTile {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val docs = vps.docs.InterleavedDocs.fromDocuments(spark, dir, replication)
-      .repartition(cpus * 3)
     val points = vps.docs.InterleavedDocs.extractGeoSpans(docs)
       .select((col("id") * 10 + col("span_offset")).as("id"), col("geom"))
     println("soak points=" + points.count())

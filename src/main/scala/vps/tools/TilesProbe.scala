@@ -15,7 +15,6 @@ object TilesProbe {
         .config("spark.ui.enabled", "false").getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       val docs = vps.docs.InterleavedDocs.fromDocuments(spark, "/root/testdata/sf0.1", rep)
-        .repartition(cpus * 3)
       val points = vps.docs.InterleavedDocs.extractGeoSpans(docs)
         .select((col("id") * 10 + col("span_offset")).as("id"), col("geom")).persist()
       points.count()
