@@ -22,12 +22,15 @@ object SparkEntry {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** documents is a single small parquet file at test SFs -> one input split;
-    * repartition right after the scan so per-doc kernels (minhash, simhash,
-    * regex) use every core. At production scale the file count/split size
-    * makes this a no-op decision for the reader.
+    * spread it so per-doc kernels (minhash, simhash, regex) use every core.
+    * Gated on the actual scan layout: a production-scale table already splits
+    * into >= parallelism partitions and must NOT pay a full-corpus shuffle here.
     */
-  private def docsT(s: SparkSession, dir: String): DataFrame =
-    t(dir, "documents")(s).repartition(s.sparkContext.defaultParallelism)
+  private def docsT(s: SparkSession, dir: String): DataFrame = {
+    val df = t(dir, "documents")(s)
+    val parallelism = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism) else df
+  }
 
   /** Geo points extracted from interleaved-doc spans (the engine's input). */
   private def geoPoints(spark: SparkSession, dir: String): DataFrame = {

@@ -3,7 +3,7 @@ package vps.joins
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructField, StructType}
 import org.locationtech.jts.geom.{Envelope, Geometry}
 import org.locationtech.jts.geom.prep.{PreparedGeometry, PreparedGeometryFactory}
 import org.locationtech.jts.index.strtree.STRtree
@@ -296,22 +296,31 @@ object SpatialJoins {
       queryIdCol: String = "query_id",
       queryGeomCol: String = "geom"): DataFrame = {
     import vps.geom.{CellId, TileMath}
-    val candidates = knnCellJoin(points, queries, k, level, initialRing,
+    // knnCellJoin output is bounded at |queries| * k rows and the query side is
+    // driver-collected by contract, so the candidate set is collected ONCE:
+    // per-query stats come from the same rows (no second Spark job, and no
+    // cached plan left behind in the session's storage)
+    val candSchema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("neighbor_id", LongType, nullable = false),
+      StructField("dist", DoubleType, nullable = false),
+      StructField("rank", IntegerType, nullable = false)))
+    val candRows: Array[Row] = knnCellJoin(points, queries, k, level, initialRing,
       pointIdCol, pointGeomCol, queryIdCol, queryGeomCol)
       // knnCellJoin returns euclidean distance; square it to align with the
       // broadcast path ordering metric
-      .withColumn("dist", col("dist") * col("dist"))
-      .cache()
+      .select(col("query_id"), col("neighbor_id"),
+        (col("dist") * col("dist")).as("dist"), col("rank"))
+      .collect()
 
     val qs = queries
       .select(col(queryIdCol).cast("long").as("query_id"), st_asWKB(col(queryGeomCol)))
       .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .collect()
 
-    val stats = candidates.groupBy(col("query_id"))
-      .agg(count(lit(1)).as("n"), max(col("dist")).as("kth"))
-      .as[(Long, Long, Double)](Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble))
-      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val stats: Map[Long, (Long, Double)] = candRows.groupBy(_.getLong(0)).map {
+      case (qid, rs) => qid -> (rs.length.toLong, rs.iterator.map(_.getDouble(2)).max)
+    }
 
     val failing = qs.filter { case (qid, wkb) =>
       stats.get(qid) match {
@@ -349,9 +358,11 @@ object SpatialJoins {
       }
     }.map(_._1).toSet
 
-    if (failing.isEmpty) candidates
+    val spark = points.sparkSession
+    val okPart = spark.createDataFrame(
+      java.util.Arrays.asList(candRows.filterNot(r => failing(r.getLong(0))): _*), candSchema)
+    if (failing.isEmpty) okPart
     else {
-      val okPart = candidates.where(!col("query_id").isin(failing.toSeq: _*))
       val failedQueries = queries.where(col(queryIdCol).cast("long").isin(failing.toSeq: _*))
       val exact = knnBroadcast(points, failedQueries, k,
         pointIdCol, pointGeomCol, queryIdCol, queryGeomCol)

@@ -193,13 +193,13 @@ object VectorSearch {
     val cents = trainCentroids(vectors, numCentroids, trainIters, idCol, vecCol)
     val bc = spark.sparkContext.broadcast(cents)
 
-    val assignSchema = StructType(Seq(
-      StructField("list_id", IntegerType, nullable = false),
-      StructField("id", LongType, nullable = false),
-      StructField("vec", ArrayType(FloatType), nullable = false)))
+    // typed tuple encoders on BOTH sides: Row(..., v.toSeq) boxes every float
+    // of every vector once per build — the encoder hands primitive
+    // Array[Float] straight through (same reason as bruteTopK's typed input)
+    val floatArrayEnc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]()
+    val assignEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong, floatArrayEnc)
     val typedVecs = vectors.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])](Encoders.tuple(Encoders.scalaLong,
-        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]()))
+      .as[(Long, Array[Float])](Encoders.tuple(Encoders.scalaLong, floatArrayEnc))
     val assigned = typedVecs.mapPartitions { rows =>
       val cs = bc.value
       rows.map { case (id, v) =>
@@ -207,27 +207,21 @@ object VectorSearch {
         cs.foreach { case (ci, cv) =>
           val c = cos(v, cv); if (c > bestCos) { bestCos = c; best = ci }
         }
-        Row(best, id, v.toSeq)
+        (best, id, v)
       }
-    }(Encoders.row(assignSchema))
+    }(assignEnc).toDF("list_id", "id", "vec")
 
-    val qIdIdx = queries.schema.fieldIndex(queryIdCol)
-    val qVecIdx = queries.schema.fieldIndex(queryVecCol)
-    val probeSchema = StructType(Seq(
-      StructField("list_id", IntegerType, nullable = false),
-      StructField("query_id", LongType, nullable = false),
-      StructField("qvec", ArrayType(FloatType), nullable = false)))
-    val probes = queries.mapPartitions { rows =>
+    val typedQueries = queries.select(col(queryIdCol).cast("long"), col(queryVecCol))
+      .as[(Long, Array[Float])](Encoders.tuple(Encoders.scalaLong, floatArrayEnc))
+    val probes = typedQueries.mapPartitions { rows =>
       val cs = bc.value
-      rows.flatMap { row =>
-        val v = row.getSeq[Float](qVecIdx).toArray
-        val qid = row.getLong(qIdIdx)
+      rows.flatMap { case (qid, v) =>
         cs.map { case (ci, cv) => (cos(v, cv), ci) }
           .sortBy { case (c, ci) => (-c, ci) }
           .take(nProbe)
-          .map { case (_, ci) => Row(ci, qid, v.toSeq) }
+          .map { case (_, ci) => (ci, qid, v) }
       }
-    }(Encoders.row(probeSchema))
+    }(assignEnc).toDF("list_id", "query_id", "qvec")
 
     import vps.text.functions.cosine_sim
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))

@@ -173,11 +173,17 @@ case class StReproject(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with CodegenFallback {
   import vps.geom.Proj
   override def dataType: DataType = GeometryUDT.Instance
+  /** Parsed once when both CRS args are foldable; a bound (per-row) CRS column
+    * makes the empty-row eval throw — fall through to the per-row parse in
+    * nullSafeEval instead of failing lazy-val init.
+    */
   @transient private lazy val crsPair: Option[(Proj.Crs, Proj.Crs)] =
-    for {
-      f <- Option(second.eval(InternalRow.empty))
-      t <- Option(third.eval(InternalRow.empty))
-    } yield (Proj.parse(f.toString), Proj.parse(t.toString))
+    try {
+      for {
+        f <- Option(second.eval(InternalRow.empty))
+        t <- Option(third.eval(InternalRow.empty))
+      } yield (Proj.parse(f.toString), Proj.parse(t.toString))
+    } catch { case scala.util.control.NonFatal(_) => None }
   override def nullSafeEval(b: Any, fromC: Any, toC: Any): Any = {
     val (from, to) = crsPair.getOrElse(
       (Proj.parse(fromC.asInstanceOf[UTF8String].toString),
