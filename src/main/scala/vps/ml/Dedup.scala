@@ -20,6 +20,15 @@ import vps.text.functions._
   * Payloads are joined back exactly once per side for the verify step, so
   * shuffle volume is O(corpus × bands × 16 bytes), not O(corpus × bands ×
   * payload).
+  *
+  * Hot-bucket bound shared by every banded variant: bucket membership is
+  * gathered with `collect_capped(maxBucket)` — O(maxBucket) aggregation state
+  * map-side and reduce-side — so a boilerplate mega-duplicate class (10^8
+  * byte-identical pages all landing in ONE (band, bucket)) can neither blow
+  * an aggregation buffer nor explode into C(n,2) pairs. Capped-out buckets
+  * are DROPPED and counted on the optional `droppedBuckets` channel; such a
+  * class is exact-duplicate territory — compose [[exactDuplicates]] first
+  * (constant state per group) and near-dup the survivors.
   */
 object Dedup {
 
@@ -62,7 +71,9 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       shingle: Int = 5,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5,
+      maxBucket: Int = 4096,
+      droppedBuckets: Option[vps.geom.ErrorChannel] = None): DataFrame = {
     val texts = df.select(col(idCol).as("id"), col(textCol).as("text"))
     // band buckets computed in one expression pass (see MinHashBands)
     val banded = texts.select(col("id"),
@@ -71,13 +82,12 @@ object Dedup {
     // ONE shuffle on (band, bucket), pairs generated inside each bucket row:
     // signatures are computed exactly once per document (a banded self-join
     // evaluates its own scan per side — ReuseExchange does not fire across the
-    // alias), and the aggregation state is the bucket's id list, bounded by
-    // bucket cardinality (2^64 bucket space; run exact dedup first if the
-    // corpus has mega duplicate classes)
+    // alias); bucket state is bounded at maxBucket and capped-out buckets are
+    // dropped + counted (see the object doc)
     val pairs = banded
       .groupBy(col("band"), col("bucket"))
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .where(size(col("ids")) > 1)
+      .agg(sort_array(collect_capped(col("id"), maxBucket)).as("ids"))
+      .where(not_dropped(col("ids"), droppedBuckets) && size(col("ids")) > 1)
       .select(explode(array_pairs(col("ids"))).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
@@ -103,18 +113,20 @@ object Dedup {
       df: DataFrame,
       idCol: String = "id",
       textCol: String = "text",
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucket: Int = 4096,
+      droppedBuckets: Option[vps.geom.ErrorChannel] = None): DataFrame = {
     val withBands = df.select(col(idCol).as("id"), simhash_bands(col(textCol)).as("sb"))
     val banded = withBands.select(
       struct(col("id"), element_at(col("sb"), 1).as("sig")).as("e"),
       posexplode(slice(col("sb"), 2, 4)).as(Seq("band", "bucket")))
     // one shuffle + in-bucket pair generation (see minhash); the 8-byte sig
     // rides along inside the (id, sig) struct so the hamming verify needs no
-    // join back
+    // join back; bucket state bounded at maxBucket (see the object doc)
     banded
       .groupBy(col("band"), col("bucket"))
-      .agg(sort_array(collect_list(col("e"))).as("es"))
-      .where(size(col("es")) > 1)
+      .agg(sort_array(collect_capped(col("e"), maxBucket)).as("es"))
+      .where(not_dropped(col("es"), droppedBuckets) && size(col("es")) > 1)
       .select(explode(array_pairs(col("es"))).as("p"))
       .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
         bit_count(col("p.a.sig").bitwiseXOR(col("p.b.sig"))).as("hamming"))
@@ -142,15 +154,18 @@ object Dedup {
       vecCol: String = "embedding",
       minCosine: Double = 0.95,
       bands: Int = 8,
-      rowsPerBand: Int = 16): DataFrame = {
+      rowsPerBand: Int = 16,
+      maxBucket: Int = 4096,
+      droppedBuckets: Option[vps.geom.ErrorChannel] = None): DataFrame = {
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     val banded = vecs.select(col("id"),
       posexplode(hyperplane_bands(col("v"), bands, rowsPerBand)).as(Seq("band", "bucket")))
-    // one shuffle + in-bucket pair generation (see minhash)
+    // one shuffle + in-bucket pair generation (see minhash); bucket state
+    // bounded at maxBucket (see the object doc)
     val pairs = banded
       .groupBy(col("band"), col("bucket"))
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .where(size(col("ids")) > 1)
+      .agg(sort_array(collect_capped(col("id"), maxBucket)).as("ids"))
+      .where(not_dropped(col("ids"), droppedBuckets) && size(col("ids")) > 1)
       .select(explode(array_pairs(col("ids"))).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()

@@ -1,6 +1,7 @@
 package vps.text
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -268,7 +269,11 @@ case class ArrayPairs(child: Expression) extends UnaryExpression with CodegenFal
   override def nullSafeEval(arr: Any): Any = {
     val a = arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val n = a.numElements()
-    val out = new Array[Any](n * (n - 1) / 2)
+    val nPairs = n.toLong * (n - 1) / 2
+    require(nPairs <= Int.MaxValue - 8, s"array_pairs: $n elements -> $nPairs pairs " +
+      "overflows a single array; cap bucket cardinality upstream " +
+      "(Dedup maxBucket / collect_capped, or run exact dedup first)")
+    val out = new Array[Any](nPairs.toInt)
     var k = 0
     var i = 0
     while (i < n) {
@@ -283,6 +288,150 @@ case class ArrayPairs(child: Expression) extends UnaryExpression with CodegenFal
     new GenericArrayData(out)
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+object CollectCapped {
+  /** Flat long storage: `n` elements of `stride` longs each. `overflowed`
+    * groups have freed their storage.
+    */
+  final class Buffer(var overflowed: Boolean, var n: Int, var vals: Array[Long])
+}
+
+/** Bounded collect_list: gathers at most `cap` elements per group and
+  * evaluates to NULL once the group exceeds the cap — the buffer is freed at
+  * overflow, so a mega-duplicate class (one LSH bucket holding millions of
+  * ids) costs O(cap) memory in the map-side partial AND the final merge,
+  * instead of an unbounded aggregation array followed by a C(n,2) pair
+  * explosion. Overflow is deterministic: a group evaluates to NULL iff its
+  * total cardinality exceeds `cap`, regardless of partitioning.
+  *
+  * Elements must be bigint or a struct of bigints (the LSH `id` /
+  * `(id, sig)` shapes) — fixed-stride storage keeps (de)serialization a flat
+  * long-array copy.
+  */
+case class CollectCapped(
+    child: Expression,
+    cap: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[CollectCapped.Buffer]
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+  import CollectCapped.Buffer
+  require(cap > 0, "collect_capped: cap must be positive")
+
+  private lazy val stride: Int = child.dataType match {
+    case LongType => 1
+    case s: StructType if s.fields.nonEmpty && s.fields.forall(_.dataType == LongType) => s.length
+    case other => throw new IllegalArgumentException(
+      s"collect_capped supports bigint or struct<bigint,...> elements, got $other")
+  }
+
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
+
+  override def createAggregationBuffer(): Buffer =
+    new Buffer(false, 0, new Array[Long](math.min(cap, 16) * stride))
+
+  private def overflow(b: Buffer): Buffer = {
+    b.overflowed = true; b.n = 0; b.vals = Array.emptyLongArray; b
+  }
+
+  private def ensure(b: Buffer, extra: Int): Unit = {
+    val need = (b.n + extra) * stride
+    if (need > b.vals.length) {
+      val grown = new Array[Long](math.min(math.max(b.vals.length * 2, need), cap * stride))
+      System.arraycopy(b.vals, 0, grown, 0, b.n * stride)
+      b.vals = grown
+    }
+  }
+
+  override def update(b: Buffer, input: InternalRow): Buffer = {
+    if (b.overflowed) return b
+    val v = child.eval(input)
+    if (v == null) return b // collect_list semantics: nulls skipped
+    if (b.n >= cap) return overflow(b)
+    ensure(b, 1)
+    val base = b.n * stride
+    if (stride == 1) b.vals(base) = v.asInstanceOf[Long]
+    else {
+      val row = v.asInstanceOf[InternalRow]
+      var i = 0
+      while (i < stride) { b.vals(base + i) = row.getLong(i); i += 1 }
+    }
+    b.n += 1
+    b
+  }
+
+  override def merge(b: Buffer, o: Buffer): Buffer = {
+    if (b.overflowed || o.overflowed || b.n + o.n > cap) return overflow(b)
+    ensure(b, o.n)
+    System.arraycopy(o.vals, 0, b.vals, b.n * stride, o.n * stride)
+    b.n += o.n
+    b
+  }
+
+  override def eval(b: Buffer): Any = {
+    if (b.overflowed) return null
+    if (stride == 1) {
+      val out = new Array[Long](b.n)
+      System.arraycopy(b.vals, 0, out, 0, b.n)
+      new GenericArrayData(out)
+    } else {
+      val out = new Array[Any](b.n)
+      var i = 0
+      while (i < b.n) {
+        val fields = new Array[Any](stride)
+        var f = 0
+        while (f < stride) { fields(f) = b.vals(i * stride + f); f += 1 }
+        out(i) = org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(fields))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override def serialize(b: Buffer): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(5 + b.n * stride * 8)
+    bb.put(if (b.overflowed) 1.toByte else 0.toByte)
+    bb.putInt(b.n)
+    var i = 0
+    while (i < b.n * stride) { bb.putLong(b.vals(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val overflowed = bb.get() == 1
+    val n = bb.getInt()
+    val vals = new Array[Long](n * stride)
+    var i = 0
+    while (i < vals.length) { vals(i) = bb.getLong(); i += 1 }
+    new Buffer(overflowed, n, vals)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CollectCapped =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CollectCapped =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Filter companion to [[CollectCapped]]: true when the bucket array is
+  * non-null; a NULL (= overflowed) bucket ticks the channel's accumulator and
+  * is dropped, so capped-out LSH buckets are COUNTED, never silent.
+  * (Accumulator semantics: task retries can over-count — a metric, not data.)
+  */
+case class NotDropped(child: Expression, channel: Option[vps.geom.ErrorChannel])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) { channel.foreach(_.increment()); false } else true
+  }
+  override def nullSafeEval(v: Any): Any = true
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** Fixed pseudo-random hyperplane components for multi-band sign LSH over
@@ -381,6 +530,14 @@ object functions {
     c(HyperplaneBands(ex(v), ex(lit(bands)), ex(lit(rowsPerBand))))
   /** All unordered element pairs (i < j) as array<struct<a, b>>. */
   def array_pairs(arr: Column): Column = c(ArrayPairs(ex(arr)))
+  /** Bounded collect_list (bigint / struct-of-bigint elements): NULL once the
+    * group exceeds `cap`, with O(cap) aggregation state everywhere.
+    */
+  def collect_capped(e: Column, cap: Int): Column =
+    c(CollectCapped(ex(e), cap).toAggregateExpression())
+  /** Keep non-null bucket rows; count NULL (capped-out) ones on `channel`. */
+  def not_dropped(e: Column, channel: Option[vps.geom.ErrorChannel] = None): Column =
+    c(NotDropped(ex(e), channel))
 
   /** whitespace token count as a pure builtin composition (oracle-friendly). */
   def token_count(text: Column): Column =

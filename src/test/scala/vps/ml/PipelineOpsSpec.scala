@@ -149,6 +149,51 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall@10 nProbe=4 was $recall")
   }
 
+  test("LSH hot bucket is bounded: a planted mega-duplicate class is dropped and counted") {
+    // 10^4 byte-identical docs: every one lands in the SAME (band, bucket) for
+    // all 16 bands. Uncapped, that is one 10^4-id aggregation buffer and
+    // C(10^4, 2) ≈ 5*10^7 pairs PER BAND; capped, the buckets drop (counted)
+    // and the normal corpus is unaffected.
+    val mega = spark.range(0, 10000)
+      .select(($"id" + 500000L).as("id"), lit("identical boilerplate page body").as("text"))
+    val base = docs.select($"doc_id".as("id"), $"text").where($"id" < 50)
+    val near = base.select(($"id" + 5000).as("id"), concat($"text", lit(" tiny suffix")).as("text"))
+    val channel = vps.geom.GeomErrors.channel(spark, "lsh-dropped")
+
+    val pairs = Dedup.minhashCandidates(base.union(near).union(mega),
+      minJaccard = 0.6, maxBucket = 256, droppedBuckets = Some(channel))
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(channel.count > 0, "mega-class buckets must be counted as dropped")
+    // no pair from inside the mega class survived (both ids >= 500000)
+    assert(!pairs.exists { case (a, b) => a >= 500000L && b >= 500000L })
+    // the normal planted near-dups are still found
+    val planted = (0 until 50).map(i => (i.toLong, i + 5000L)).toSet
+    val recall = planted.count(pairs.contains).toDouble / planted.size
+    assert(recall > 0.9, s"recall=$recall")
+    // the documented composition: the mega class IS caught by exact dedup
+    val exact = Dedup.exactDuplicates(mega).select($"n").as[Long].head()
+    assert(exact === 10000L)
+
+    // cap high enough -> nothing dropped, results identical to the capped run
+    val channel2 = vps.geom.GeomErrors.channel(spark, "lsh-dropped-2")
+    val uncapped = Dedup.minhashCandidates(base.union(near), minJaccard = 0.6,
+      maxBucket = 1 << 20, droppedBuckets = Some(channel2))
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(channel2.count === 0L)
+    assert(uncapped === pairs.filter { case (a, b) => a < 500000L && b < 500000L })
+  }
+
+  test("array_pairs refuses a pair count that overflows one array") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val big = Literal.create(new GenericArrayData((0L until 70000L).toArray), ArrayType(LongType))
+    val e = intercept[IllegalArgumentException] {
+      vps.text.ArrayPairs(big).eval(null)
+    }
+    assert(e.getMessage.contains("overflows"), e.getMessage)
+  }
+
   test("text analysis: lang_id, token_count, fingerprint, quality") {
     assert(TextOps.langId("the cat sat on the mat and it was happy") === "en")
     assert(TextOps.langId("el perro y la casa de los niños en madrid") === "es")
