@@ -45,6 +45,7 @@ object Bench {
         if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/spark-bench-local" else "/tmp")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 1 << 22) // hash-agg tile pack (see TilePipeline)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -357,6 +357,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- second typed feed: changeset batch mirror (nested comments array;
+    // the stream shares the generator — DocStreamSpec gates stream == frame) ----
+    "q32_changesets" -> ((s, dir) => {
+      vps.streaming.Changesets.frame(s, sequences = 20, rowsPerSeq = 100)
+        .select(col("changeset_id"), col("uid"), col("user"), col("open"),
+          size(col("comments")).cast("long").as("n_comments"),
+          // nested-content probe: fold over the comments array
+          aggregate(col("comments"), lit(0L), (acc, c) => acc + c.getField("ts"))
+            .as("sum_comment_ts"),
+          coalesce(col("closed_at"), lit(0L)).as("closed_at"))
+        .orderBy("changeset_id")
+    }),
+
     // ---- reverse geocode (broadcast pip + per-row region names) ----
     "q30_geocode" -> ((s, dir) => {
       val pts = geoPoints(s, dir)
@@ -569,6 +582,17 @@ object SparkEntry {
           |             ELSE length(string_split_regex(trim(text), '\s+')) END AS n_tokens
           |      FROM documents)
           |ORDER BY doc_id""".stripMargin,
+      "q32_changesets" ->
+        """SELECT i AS changeset_id,
+          |  (i * 7919) % 1000 AS uid,
+          |  'user' || CAST((i * 7919) % 1000 AS VARCHAR) AS user,
+          |  (i % 5 = 0) AS open,
+          |  CAST(i % 4 AS BIGINT) AS n_comments,
+          |  CAST((i % 4) * (1600000000 + i * 37) + 60 * ((i % 4) * ((i % 4) + 1) / 2) AS BIGINT)
+          |    AS sum_comment_ts,
+          |  CAST(CASE WHEN i % 5 = 0 THEN 0 ELSE 1600000000 + i * 37 + 3600 END AS BIGINT)
+          |    AS closed_at
+          |FROM range(2000) t(i) ORDER BY 1""".stripMargin,
       "q30_geocode" ->
         s"""WITH pts AS (SELECT id * 10 + span_offset AS pt_id, lon, lat FROM ($geoSpansSql)),
            | polys AS (

@@ -102,18 +102,98 @@ object Proj {
   case object WebMercator extends Crs
   final case class Utm(zone: Int, south: Boolean) extends Crs
 
+  /** Lambert conformal conic, 2SP (ellipsoidal closed forms — Snyder 1987
+    * §15 / EPSG guidance note 7-2). Angles in degrees; `a`/`invF` default to
+    * GRS80 (the ellipsoid of the ETRS89/RGF93/NAD83 national grids). The
+    * lon/lat hub is treated as datum-agnostic: GRS80-based datums differ from
+    * WGS84 at the centimetre level, below tiling/geocoding resolution (a
+    * datum-shift grid is a native-proj feature by design).
+    */
+  final case class Lcc(
+      lat0: Double, lat1: Double, lat2: Double, lon0: Double,
+      fe: Double, fn: Double,
+      a: Double = 6378137.0, invF: Double = 298.257222101) extends Crs {
+    private val f = 1.0 / invF
+    private val e = math.sqrt(f * (2.0 - f))
+    private def m(phi: Double): Double = {
+      val s = math.sin(phi)
+      math.cos(phi) / math.sqrt(1.0 - e * e * s * s)
+    }
+    private def tOf(phi: Double): Double = {
+      val s = math.sin(phi)
+      math.tan(math.Pi / 4.0 - phi / 2.0) /
+        math.pow((1.0 - e * s) / (1.0 + e * s), e / 2.0)
+    }
+    private val phi0 = math.toRadians(lat0)
+    private val phi1 = math.toRadians(lat1)
+    private val phi2 = math.toRadians(lat2)
+    /** cone constant; 1SP degenerate case n = sin(phi1) */
+    private val nC =
+      if (math.abs(phi1 - phi2) < 1e-12) math.sin(phi1)
+      else (math.log(m(phi1)) - math.log(m(phi2))) / (math.log(tOf(phi1)) - math.log(tOf(phi2)))
+    private val fC = m(phi1) / (nC * math.pow(tOf(phi1), nC))
+    private val rho0 = a * fC * math.pow(tOf(phi0), nC)
+
+    /** point scale factor at latitude `lat` (1.0 on the standard parallels) */
+    def scaleAt(lat: Double): Double = {
+      val phi = math.toRadians(lat)
+      nC * a * fC * math.pow(tOf(phi), nC) / (a * m(phi))
+    }
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val rho = a * fC * math.pow(tOf(math.toRadians(lat)), nC)
+      val theta = nC * (math.toRadians(lon) - math.toRadians(lon0))
+      (fe + rho * math.sin(theta), fn + rho0 - rho * math.cos(theta))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val sgn = math.signum(nC)
+      val dx = x - fe
+      val dy = rho0 - (y - fn)
+      val rho = sgn * math.sqrt(dx * dx + dy * dy)
+      val t = math.pow(rho / (a * fC), 1.0 / nC)
+      val theta = math.atan2(sgn * dx, sgn * dy)
+      val lam = theta / nC + math.toRadians(lon0)
+      var phi = math.Pi / 2.0 - 2.0 * math.atan(t)
+      var i = 0
+      while (i < 8) { // converges quadratically; 8 is belt-and-braces
+        val s = math.sin(phi)
+        phi = math.Pi / 2.0 -
+          2.0 * math.atan(t * math.pow((1.0 - e * s) / (1.0 + e * s), e / 2.0))
+        i += 1
+      }
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
+  /** EPSG:2154 — RGF93 / Lambert-93 (France; EPSG registry parameters). */
+  val Lambert93: Lcc = Lcc(lat0 = 46.5, lat1 = 49.0, lat2 = 44.0, lon0 = 3.0,
+    fe = 700000.0, fn = 6600000.0)
+  /** EPSG:3034 — ETRS89-extended / LCC Europe. */
+  val LccEurope: Lcc = Lcc(lat0 = 52.0, lat1 = 35.0, lat2 = 65.0, lon0 = 10.0,
+    fe = 4000000.0, fn = 2800000.0)
+  /** EPSG:3978 — NAD83 / Canada Atlas Lambert. */
+  val LccCanada: Lcc = Lcc(lat0 = 49.0, lat1 = 49.0, lat2 = 77.0, lon0 = -95.0,
+    fe = 0.0, fn = 0.0)
+
   private val UtmRe = "(?i)epsg:(32[67])(\\d{2})".r
 
-  /** Parse an EPSG code: 4326, 3857, 326xx/327xx (UTM). */
+  /** Parse an EPSG code: 4326, 3857, 326xx/327xx (UTM), 2154/3034/3978
+    * (Lambert conformal conic national grids).
+    */
   def parse(code: String): Crs = code.trim.toLowerCase match {
     case "epsg:4326" | "4326" => LonLat
     case "epsg:3857" | "3857" | "epsg:900913" => WebMercator
+    case "epsg:2154" | "2154" => Lambert93
+    case "epsg:3034" | "3034" => LccEurope
+    case "epsg:3978" | "3978" => LccCanada
     case UtmRe(series, zone) =>
       val z = zone.toInt
       require(z >= 1 && z <= 60, s"UTM zone $z out of [1,60]")
       Utm(z, south = series == "327")
     case other => throw new IllegalArgumentException(
-      s"unsupported CRS '$other' (supported: EPSG:4326, EPSG:3857, EPSG:326xx/327xx)")
+      s"unsupported CRS '$other' (supported: EPSG:4326, EPSG:3857, " +
+        "EPSG:326xx/327xx, EPSG:2154/3034/3978)")
   }
 
   /** Point transform `from` -> `to`, routed through lon/lat. */
@@ -122,11 +202,13 @@ object Proj {
       case LonLat => (x, y)
       case WebMercator => (TileMath.mercXToLon(x), TileMath.mercYToLat(y))
       case Utm(z, s) => utmToLonLat(x, y, z, s)
+      case l: Lcc => l.inverse(x, y)
     }
     to match {
       case LonLat => (lon, lat)
       case WebMercator => (TileMath.lonToMercX(lon), TileMath.latToMercY(lat))
       case Utm(z, s) => lonLatToUtm(lon, lat, z, s)
+      case l: Lcc => l.forward(lon, lat)
     }
   }
 }

@@ -1,7 +1,13 @@
 package vps.joins
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
+import org.locationtech.jts.geom.Geometry
+import org.locationtech.jts.geom.prep.{PreparedGeometry, PreparedGeometryFactory}
+import org.locationtech.jts.index.strtree.STRtree
+
+import vps.geom.Wkb
 
 /** Reverse-geocode helper mirroring the reference's `util/Geocode.scala:88-116`
   * surface: append the containing region names to point rows and aggregate the
@@ -9,12 +15,17 @@ import org.apache.spark.sql.functions._
   */
 object Geocode {
 
-  /** Append `regions: array<string>` — names of polygons containing each row's
-    * geometry (empty array when none). Polygon side is broadcast (STRtree +
-    * prepared geometries, reference J9).
+  /** Append `regions: array<string>` — sorted distinct names of polygons
+    * containing each row's geometry (empty array when none). Pure map-side:
+    * the (small, broadcastable by contract) region side is collected once,
+    * each task builds an STRtree of prepared geometries from the broadcast,
+    * and every input row is tagged in place — no join, no shuffle, no marker
+    * column, no persisted intermediate (the round-2 shape keyed rows with
+    * monotonically_increasing_id and left a cached DataFrame in session
+    * storage per call).
     *
     * @param df      rows with a geometry column `geomCol`
-    * @param regions (region_id: long, name: string, geometry `geomCol`)
+    * @param regions (name: string `nameCol`, geometry `geomCol`)
     */
   def withRegions(
       df: DataFrame,
@@ -22,35 +33,39 @@ object Geocode {
       geomCol: String = "geom",
       nameCol: String = "name"): DataFrame = {
     val spark = df.sparkSession
-    import vps.sql.functions.{st_asWKB, st_geomFromWKB}
-    // materialize the (small, broadcastable) region side ONCE and assign ids on
-    // the driver: deriving ids with monotonically_increasing_id and evaluating
-    // the lineage twice (broadcast collect + ids join) can mismatch if the
-    // input's partitioning is non-deterministic
-    val regionRows: Array[(Long, String, Array[Byte])] = regions
+    import vps.sql.functions.st_asWKB
+    val regionRows: Array[(String, Array[Byte])] = regions
       .select(col(nameCol).cast("string"), st_asWKB(col(geomCol)))
+      .as[(String, Array[Byte])](Encoders.tuple(Encoders.STRING, Encoders.BINARY))
       .collect()
-      .zipWithIndex
-      .map { case (r, i) => (i.toLong, r.getString(0), r.getAs[Array[Byte]](1)) }
-    import spark.implicits._
-    val named = regionRows.toSeq.toDF("__rid", "__rname", "__wkb")
-      .select(col("__rid"), col("__rname"), st_geomFromWKB(col("__wkb")).as("geom"))
-    val ids = named.select(col("__rid"), col("__rname"))
-    val marker = "__geocode_row"
-    // persist: the marker ids must be identical in both downstream evaluations
-    // (the pip probe and the final join-back)
-    val withKey = df.withColumn(marker, monotonically_increasing_id()).persist()
-    val hits = SpatialJoins.pipBroadcast(
-      withKey.select(col(marker), col(geomCol).as("geom")),
-      named.select(col("__rid").as("poly_id"), col("geom")),
-      polyIdCol = "poly_id")
-      .join(ids, col("poly_id") === col("__rid"))
-      .groupBy(col(marker))
-      .agg(sort_array(collect_set(col("__rname"))).as("regions"))
-    withKey
-      .join(hits, Seq(marker), "left_outer")
-      .withColumn("regions", coalesce(col("regions"), array().cast("array<string>")))
-      .drop(marker)
+    val bc = spark.sparkContext.broadcast(regionRows)
+
+    val geomIdx = df.schema.fieldIndex(geomCol)
+    val outSchema = StructType(df.schema.fields :+
+      StructField("regions", ArrayType(StringType, containsNull = false), nullable = false))
+    df.mapPartitions { rows =>
+      val index = new STRtree()
+      val pf = new PreparedGeometryFactory
+      bc.value.foreach { case (name, wkb) =>
+        val g = Wkb.read(wkb)
+        index.insert(g.getEnvelopeInternal, (name, pf.create(g)))
+      }
+      rows.map { row =>
+        val g = row.getAs[Geometry](geomIdx)
+        val names =
+          if (g == null) Seq.empty[String]
+          else {
+            val hits = index.query(g.getEnvelopeInternal).iterator()
+            val out = scala.collection.mutable.SortedSet.empty[String]
+            while (hits.hasNext) {
+              val (name, pg) = hits.next().asInstanceOf[(String, PreparedGeometry)]
+              if (pg.intersects(g)) out += name
+            }
+            out.toSeq
+          }
+        Row.fromSeq(row.toSeq :+ names)
+      }
+    }(Encoders.row(outSchema))
   }
 
   /** Distinct regions per group key (the reference's

@@ -24,9 +24,21 @@ import vps.geom.Geo
 object Clip {
   val DefaultTimeout: Duration = 5.seconds
 
+  /** Below this vertex count the intersection runs inline: JTS overlay on a
+    * small geometry cannot meaningfully hang, and the Future + Await handoff
+    * to the global pool is measurable at per-feature-per-tile frequency. The
+    * timeout guard exists for pathological MULTI-thousand-vertex geometries
+    * (reference `vectortile/package.scala:64-72`), which keep it.
+    */
+  val TimeoutGuardMinPoints: Int = 10000
+
   def timedIntersect(g: Geometry, extent: Geometry, timeout: Duration = DefaultTimeout): Option[Geometry] =
-    try Some(Await.result(Future(g.intersection(extent)), timeout))
-    catch { case _: Throwable => None }
+    if (g.getNumPoints < TimeoutGuardMinPoints)
+      try Some(g.intersection(extent))
+      catch { case scala.util.control.NonFatal(_) => None }
+    else
+      try Some(Await.result(Future(g.intersection(extent)), timeout))
+      catch { case _: Throwable => None }
 
   private def collectParts[T <: Geometry](g: Geometry, cls: Class[T]): Seq[T] = {
     val out = mutable.ArrayBuffer.empty[T]

@@ -165,9 +165,10 @@ case class StToLonLat(child: Expression) extends GeomUnary {
 }
 
 /** General closed-form reprojection between EPSG:4326 / EPSG:3857 / UTM
-  * (EPSG:326xx/327xx) — the reference's `st_reprojectGeom` surface
+  * (EPSG:326xx/327xx) / Lambert conformal conic national grids
+  * (EPSG:2154/3034/3978) — the reference's `st_reprojectGeom` surface
   * (`vectortile/package.scala:28-39`) without a native proj dependency.
-  * CRS codes must be foldable (validated once at plan time).
+  * Foldable CRS codes parse once at first eval; column CRS args parse per row.
   */
 case class StReproject(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with CodegenFallback {
@@ -403,19 +404,22 @@ object TileFragments {
   * command-int payloads (a point is ~4-8 bytes vs 21-byte WKB) and the
   * post-shuffle phases never touch geometry again.
   */
-case class TileFragments(children: Seq[Expression])
+case class TileFragments(children: Seq[Expression],
+    timeoutMs: Long = 5000, errors: Option[vps.geom.ErrorChannel] = None)
     extends Expression with CodegenFallback {
   require(children.length == 6, "tile_fragments(geom, zoom, x, y, extent, withArea)")
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(TileFragments.elementType, containsNull = false)
   private val Empty = new GenericArrayData(Array.empty[Any])
+  @transient private lazy val clipTimeout = scala.concurrent.duration.Duration(timeoutMs, "ms")
   override def eval(input: InternalRow): Any = {
     val vs = children.map(_.eval(input))
     if (vs.exists(_ == null)) return Empty
     val Seq(wkb, z, x, y, extent, withArea) = vs
     val zi = z.asInstanceOf[Int]; val xi = x.asInstanceOf[Int]; val yi = y.asInstanceOf[Int]
     val env = TileMath.tileEnvelopeLatLng(zi, xi, yi)
-    val clipped = Clip(Wkb.read(wkb.asInstanceOf[Array[Byte]]), env)
+    val clipped = Clip(Wkb.read(wkb.asInstanceOf[Array[Byte]]), env, clipTimeout,
+      onFailure = () => errors.foreach(_.increment()))
     if (clipped.isEmpty) Empty
     else {
       val local = vps.mvt.TileBuilder.lonLatToTile(zi, xi, yi, extent.asInstanceOf[Int])
@@ -458,7 +462,9 @@ object functions {
   def st_geometryType(g: Column): Column = c(StGeometryType(ex(g)))
   def st_toWebMercator(g: Column): Column = c(StToWebMercator(ex(g)))
   def st_toLonLat(g: Column): Column = c(StToLonLat(ex(g)))
-  /** Reproject between EPSG:4326, EPSG:3857 and UTM (EPSG:326xx/327xx). */
+  /** Reproject between EPSG:4326, EPSG:3857, UTM (EPSG:326xx/327xx) and
+    * Lambert conformal conic grids (EPSG:2154/3034/3978).
+    */
   def st_reproject(g: Column, fromCrs: String, toCrs: String): Column =
     c(StReproject(ex(g), ex(lit(fromCrs)), ex(lit(toCrs))))
   def st_contains(a: Column, b: Column): Column = c(StContains(ex(a), ex(b)))
@@ -483,9 +489,10 @@ object functions {
   /** 0-or-1 pre-encoded MVT fragments; consume with `explode` (see
     * [[TileFragments]]).
     */
-  def tile_fragments(g: Column, zoom: Int, x: Column, y: Column, extent: Int, withArea: Boolean): Column =
+  def tile_fragments(g: Column, zoom: Int, x: Column, y: Column, extent: Int, withArea: Boolean,
+      timeoutMs: Long = 5000, errors: Option[vps.geom.ErrorChannel] = None): Column =
     c(TileFragments(Seq(ex(g), ex(lit(zoom)), ex(x.cast("int")), ex(y.cast("int")),
-      ex(lit(extent)), ex(lit(withArea)))))
+      ex(lit(extent)), ex(lit(withArea))), timeoutMs, errors))
   def st_clipToTile(g: Column, z: Column, x: Column, y: Column, errors: vps.geom.ErrorChannel): Column =
     c(StClipToTile(ex(g), ex(z), ex(x), ex(y), Some(errors)))
   def st_simplify(g: Column, tolerance: Column, preserveTopology: Boolean = true): Column =

@@ -79,7 +79,7 @@ class DocStreamTable extends Table with SupportsRead {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = DocStream.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new DocMicroBatchStream(head, batchSize, rowsPerSeq)
+          new DocMicroBatchStream(head, batchSize, rowsPerSeq, DocStream.row)
       }
     }
   }
@@ -90,7 +90,13 @@ case class SequenceOffset(sequence: Int) extends Offset {
   override def json(): String = s"""{"sequence":$sequence}"""
 }
 
-class DocMicroBatchStream(head: Int, batchSize: Int, rowsPerSeq: Int)
+/** Sequence-clocked micro-batch stream shared by every typed feed: the
+  * offset/clamp/partition machinery is feed-agnostic; `gen(seq, i, rowsPerSeq)`
+  * supplies the rows (must be a deterministic pure function — resume replays
+  * it).
+  */
+class DocMicroBatchStream(head: Int, batchSize: Int, rowsPerSeq: Int,
+    gen: (Int, Int, Int) => InternalRow)
     extends MicroBatchStream with SupportsAdmissionControl {
   override def initialOffset(): Offset = SequenceOffset(0)
 
@@ -120,16 +126,18 @@ class DocMicroBatchStream(head: Int, batchSize: Int, rowsPerSeq: Int)
     shuffled.map(seq => DocStreamPartition(seq, rowsPerSeq): InputPartition)
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val g = gen // local copy: the lambda must not capture the (non-serializable) stream
     (partition: InputPartition) => {
       val p = partition.asInstanceOf[DocStreamPartition]
       new PartitionReader[InternalRow] {
         private var i = -1
         override def next(): Boolean = { i += 1; i < p.rowsPerSeq }
-        override def get(): InternalRow = DocStream.row(p.sequence, i, p.rowsPerSeq)
+        override def get(): InternalRow = g(p.sequence, i, p.rowsPerSeq)
         override def close(): Unit = ()
       }
     }
+  }
 
   override def commit(end: Offset): Unit = () // engine checkpoints offsets
   override def stop(): Unit = ()

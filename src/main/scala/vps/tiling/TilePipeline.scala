@@ -13,32 +13,66 @@ import vps.sql.functions._
   * inside the Dataset API — no `.rdd` hop, no Kryo; geometry rides the WKB UDT
   * through Tungsten.
   *
-  * Skew strategy (SURVEY.md §4 "salted two-phase tile aggregation"): a hot tile
-  * (all features land on one key) is split across `saltBuckets` partial groups;
-  * phase 1 clips + packs features per (tile, salt), phase 2 merges the partials
-  * and encodes one MVT per tile. Shuffle 1 carries raw features spread over
-  * salt buckets; shuffle 2 carries already-packed partials (one row per bucket).
+  * Exchange strategy is pluggable (see [[TilePipeline.PackStrategy]]): the
+  * default fuses clip + MVT command-int encode map-side and exchanges
+  * pre-encoded fragments ONCE, keyed by tile; salted two-phase variants
+  * (SURVEY.md §4) remain available for map-side-combine regimes and A/B
+  * measurement, all byte-identical.
   */
 /** One encoded tile. */
 final case class TileRow(zoom: Int, x: Int, y: Int, mvt: Array[Byte], features: Int)
 
-/** Phase-1 packed features for one (tile, salt) bucket. `layers(i)` is null in
-  * single-layer mode (resolved to Options.layerName at encode time), so the
-  * common case pays one null bit per feature, not a repeated string. `geoms`
-  * are PRE-ENCODED MVT geometry payloads (command ints in tile-local coords),
-  * not WKB: smaller through the merge shuffle (a point is ~4-8 varint bytes vs
-  * 21 WKB bytes) and phase 2 never re-parses geometry. `areas` ride along only
-  * when Options.orderAreas needs them (0.0 otherwise).
+/** One packed feature. `layer` is null in single-layer mode (resolved to
+  * Options.layerName at encode time), so the common case pays one null bit per
+  * feature, not a repeated string. `payload` is the PRE-ENCODED MVT geometry
+  * (command ints in tile-local coords), not WKB: smaller through the merge
+  * shuffle (a point is ~4-8 varint bytes vs 21 WKB bytes) and phase 2 never
+  * re-parses geometry. `area` rides along only when Options.orderAreas needs
+  * it (0.0 otherwise).
   */
-private[tiling] final case class Partial(
-    x: Int, y: Int, salt: Int,
-    ids: Array[Long], layers: Array[String], types: Array[Int],
-    areas: Array[Double], geoms: Array[Array[Byte]])
+private[tiling] final case class Feat(
+    id: Long, layer: String, gt: Int, area: Double, payload: Array[Byte])
+
+/** Phase-1 output: packed features of one (tile, salt) bucket (salt dropped —
+  * the final per-layer id sort makes partial order irrelevant).
+  */
+private[tiling] final case class PackedTile(x: Int, y: Int, feats: Array[Feat])
 
 object TilePipeline {
 
   type TileRow = vps.tiling.TileRow
   val TileRow = vps.tiling.TileRow
+
+  /** How fragments travel from the map side to the tile encoder. All
+    * strategies produce byte-identical tiles (spec-gated); they differ in
+    * exchange count and map-side combining:
+    *
+    * - [[PackStrategy.SinglePhase]] (default): clip + encode fragments
+    *   map-side (fused generator), ONE exchange keyed by tile, encode in the
+    *   reducer. Fewest shuffles and stage barriers; measured fastest at
+    *   bench scale. A tile's encode is single-threaded under every strategy
+    *   (one MVT = one byte stream), so the salted split buys no encode
+    *   parallelism — keep zooms with huge per-tile feature counts in check
+    *   with a `reduce` decimation hook, as the reference does.
+    * - [[PackStrategy.SaltedSort]]: round-2 shape — salted two-phase
+    *   (pack per (tile, salt), merge per tile), sort-based phase 1.
+    * - [[PackStrategy.SaltedHash]]: two-phase with a hash-agg phase 1
+    *   (collect_list): partial aggregation merges fragments MAP-SIDE, so the
+    *   exchange carries one packed row per (tile, salt, map partition). Wins
+    *   when per-map-partition rows >> tiles x salts (low zooms / production
+    *   occupancy); loses at high zoom where groups ~ rows (measured).
+    *   Requires `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+    *   raised above the per-partition group count.
+    * - [[PackStrategy.WkbPhase1]]: A/B baseline — clipped WKB through a
+    *   salted exchange, transform+encode reduce-side.
+    */
+  sealed trait PackStrategy
+  object PackStrategy {
+    case object SinglePhase extends PackStrategy
+    case object SaltedSort extends PackStrategy
+    case object SaltedHash extends PackStrategy
+    case object WkbPhase1 extends PackStrategy
+  }
 
   final case class Options(
       layerName: String = "features",
@@ -64,11 +98,12 @@ object TilePipeline {
         * map-side removes a full-corpus shuffle.
         */
       spreadBeforeClip: Boolean = false,
-      /** A/B switch (measurement): carry clipped WKB through the phase-1
-        * exchange and encode command-ints inside phase 1, instead of the fused
-        * pre-exchange encode. Output bytes identical either way.
+      /** Exchange/pack strategy — see [[PackStrategy]]. */
+      strategy: PackStrategy = PackStrategy.SinglePhase,
+      /** Counts clip timeouts/topology failures (original geometry passes
+        * through, never silently dropped) across the whole pipeline.
         */
-      wkbPhase1: Boolean = false)
+      errors: Option[vps.geom.ErrorChannel] = None)
 
   /** Tile one zoom level. Input: (id: long, geom: GeometryUDT) [+ ignored extra
     * columns]. Deterministic output: per tile, features sorted by id.
@@ -94,12 +129,13 @@ object TilePipeline {
     packAndEncode(exploded, zoom, opts)
   }
 
-  /** Tile one zoom of an already-keyed frame (id, layer, geom, x, y) where
-    * `geom` is the ORIGINAL (un-simplified) geometry — the [[pyramidRekey]]
-    * path. Per-zoom simplification happens here, after keying; since the key
-    * set from the original geometry is a superset of the keys the simplified
-    * geometry would produce, and empty clips are filtered, output tiles are
-    * byte-identical to [[tileZoom]].
+  /** Tile one zoom of a keys-array frame (id, layer, geom, keys:
+    * array<struct<x,y>>) where `geom` is the ORIGINAL (un-simplified)
+    * geometry — the [[pyramidRekey]] path. Simplification happens here ONCE
+    * PER FEATURE (before the key explode, so not per (feature, tile)); since
+    * the key set from the original geometry is a superset of the keys the
+    * simplified geometry would produce, and empty clips are filtered by the
+    * fragment generator, output tiles are byte-identical to [[tileZoom]].
     */
   def tileZoomKeyed(frame: DataFrame, zoom: Int, opts: Options = Options()): Dataset[TileRow] = {
     val simplified =
@@ -108,15 +144,42 @@ object TilePipeline {
           st_simplify(col("geom"), lit(vps.kernels.Simplify.toleranceForZoom(zoom, opts.extent)),
             preserveTopology = opts.preserveTopology))
       else frame
-    packAndEncode(simplified, zoom, opts)
+    val exploded = simplified
+      .select(col("id"), col("layer"), col("geom"), explode(col("keys")).as("k"))
+      .select(col("id"), col("layer"), col("geom"), col("k.x").as("x"), col("k.y").as("y"))
+    packAndEncode(exploded, zoom, opts)
   }
 
-  /** Salt, clip, pack, merge, encode — shared tail of both keyed entry points.
-    * Input: (id: long, layer: string-or-null, geom, x, y).
+  /** Fragment-encode, exchange, tile-encode — shared tail of both keyed entry
+    * points. Input: (id: long, layer: string-or-null, geom, x, y).
+    * Strategy dispatch per [[PackStrategy]].
     */
   private def packAndEncode(keyed: DataFrame, zoom: Int, opts: Options): Dataset[TileRow] = {
     val spark = keyed.sparkSession
     import spark.implicits._
+
+    if (opts.strategy == PackStrategy.SinglePhase) {
+      // clip -> transform -> command-int encode fused map-side, then ONE
+      // exchange keyed by tile and the reducer encodes each tile directly:
+      // no salt split, no second aggregation, one stage barrier fewer
+      val base = if (opts.spreadBeforeClip) keyed.repartition(col("x"), col("y")) else keyed
+      val frags = base
+        .select(col("x"), col("y"), col("id"), col("layer"),
+          explode(tile_fragments(col("geom"), zoom, col("x"), col("y"),
+            opts.extent, opts.orderAreas, opts.clipTimeoutMs, opts.errors)).as("f"))
+        .select(col("x"), col("y"), col("id"), col("layer"),
+          col("f.geomType").as("gt"), col("f.area").as("area"), col("f.payload").as("payload"))
+      return frags
+        .as[(Int, Int, Long, String, Int, Double, Array[Byte])]
+        .groupByKey(r => (r._1, r._2))
+        .mapGroups[TileRow] { (key: (Int, Int), rows: Iterator[(Int, Int, Long, String, Int, Double, Array[Byte])]) =>
+          val feats = rows.map { case (_, _, id, layer, gt, area, payload) =>
+            Feat(id, layer, gt, area, payload)
+          }.toArray
+          encodeTile(zoom, key._1, key._2, feats, opts)
+        }
+    }
+
     val exploded = keyed
       .withColumn("salt", pmod(col("id"), lit(opts.saltBuckets)).cast("int"))
 
@@ -124,8 +187,8 @@ object TilePipeline {
       if (opts.spreadBeforeClip) exploded.repartition(col("x"), col("y"), col("salt"))
       else exploded
 
-    implicit val partialEnc = Encoders.product[Partial]
-    val partials = if (opts.wkbPhase1) {
+    implicit val packedEnc = Encoders.product[PackedTile]
+    val packed: Dataset[PackedTile] = if (opts.strategy == PackStrategy.WkbPhase1) {
       // A/B alternative: clipped WKB through the exchange, encode in phase 1
       val clipped = spread
         .withColumn("geom", st_clipToTile(col("geom"), lit(zoom), col("x"), col("y")))
@@ -134,16 +197,15 @@ object TilePipeline {
         .select(col("x"), col("y"), col("salt"), col("id"), col("layer"), st_asWKB(col("geom")).as("wkb"))
         .as[(Int, Int, Int, Long, String, Array[Byte])]
         .groupByKey(r => (r._1, r._2, r._3))
-        .mapGroups[Partial] { (key: (Int, Int, Int), rows: Iterator[(Int, Int, Int, Long, String, Array[Byte])]) =>
-          val (x, y, salt) = key
+        .mapGroups[PackedTile] { (key: (Int, Int, Int), rows: Iterator[(Int, Int, Int, Long, String, Array[Byte])]) =>
+          val (x, y, _) = key
           val toTile = TileBuilder.lonLatToTile(zoom, x, y, opts.extent)
           val feats = rows.map { case (_, _, _, id, layer, wkb) =>
             val g = toTile.transform(Wkb.read(wkb))
             val (geomType, payload) = Mvt.encodeGeometryPacked(g)
-            (id, layer, geomType, if (opts.orderAreas) g.getArea else 0.0, payload)
-          }.toArray.sortBy(_._1)
-          Partial(x, y, salt, feats.map(_._1), feats.map(_._2), feats.map(_._3),
-            feats.map(_._4), feats.map(_._5))
+            Feat(id, layer, geomType, if (opts.orderAreas) g.getArea else 0.0, payload)
+          }.toArray
+          PackedTile(x, y, feats)
         }
     } else {
       // clip -> tile-local transform -> MVT command-int encode, fused in ONE
@@ -154,45 +216,61 @@ object TilePipeline {
       val frags = spread
         .select(col("x"), col("y"), col("salt"), col("id"), col("layer"),
           explode(tile_fragments(col("geom"), zoom, col("x"), col("y"),
-            opts.extent, opts.orderAreas)).as("f"))
+            opts.extent, opts.orderAreas, opts.clipTimeoutMs, opts.errors)).as("f"))
         .select(col("x"), col("y"), col("salt"), col("id"), col("layer"),
           col("f.geomType").as("gt"), col("f.area").as("area"), col("f.payload").as("payload"))
 
-      // phase 1: pack fragments per (tile, salt), id-sorted
-      frags
-        .as[(Int, Int, Int, Long, String, Int, Double, Array[Byte])]
-        .groupByKey(r => (r._1, r._2, r._3))
-        .mapGroups[Partial] { (key: (Int, Int, Int), rows: Iterator[(Int, Int, Int, Long, String, Int, Double, Array[Byte])]) =>
-          val (x, y, salt) = key
-          val feats = rows.map { case (_, _, _, id, layer, gt, area, payload) =>
-            (id, layer, gt, area, payload)
-          }.toArray.sortBy(_._1)
-          Partial(x, y, salt, feats.map(_._1), feats.map(_._2), feats.map(_._3),
-            feats.map(_._4), feats.map(_._5))
-        }
+      if (opts.strategy == PackStrategy.SaltedSort) {
+        // round-2 shape: sort-based groupByKey pack per (tile, salt)
+        frags
+          .as[(Int, Int, Int, Long, String, Int, Double, Array[Byte])]
+          .groupByKey(r => (r._1, r._2, r._3))
+          .mapGroups[PackedTile] { (key: (Int, Int, Int), rows: Iterator[(Int, Int, Int, Long, String, Int, Double, Array[Byte])]) =>
+            val (x, y, _) = key
+            PackedTile(x, y, rows.map { case (_, _, _, id, layer, gt, area, payload) =>
+              Feat(id, layer, gt, area, payload)
+            }.toArray)
+          }
+      } else {
+        // SaltedHash: collect_list's partial aggregation merges fragments per
+        // (tile, salt) MAP-SIDE before the exchange (the shuffle carries one
+        // packed row per (tile, salt, map partition), not one row per
+        // fragment) — wins when per-partition rows >> tiles x salts
+        frags
+          .groupBy(col("x"), col("y"), col("salt"))
+          .agg(collect_list(struct(col("id"), col("layer"), col("gt"),
+            col("area"), col("payload"))).as("feats"))
+          .select(col("x"), col("y"), col("feats"))
+          .as[PackedTile]
+      }
     }
 
-    // phase 2: merge partials per tile, group into named layers (sorted by
-    // name), deterministic id order inside each layer, concatenate the
-    // pre-encoded fragments into layer + tile bytes
-    partials
-      .groupByKey(p => (p.x, p.y))
-      .mapGroups[TileRow] { (key: (Int, Int), ps: Iterator[Partial]) =>
-        val (x, y) = key
-        val feats = ps.toArray.sortBy(_.salt).iterator.flatMap { p =>
-          (0 until p.ids.length).iterator.map { i =>
-            (if (p.layers(i) == null) opts.layerName else p.layers(i),
-              Mvt.RawFeature(p.ids(i), p.types(i), p.geoms(i), p.areas(i)))
-          }
-        }.toArray
-        val layers = feats.groupBy(_._1).toSeq.sortBy(_._1).map { case (name, fs) =>
-          val ordered = TileBuilder.orderRawFeatures(
-            fs.map(_._2).sortBy(_.id).toSeq, opts.orderAreas)
-          (Mvt.encodeLayerRawBytes(name, opts.extent, ordered), fs.length)
-        }
-        val bytes = Mvt.encodeTileFromLayerBytes(layers.map(_._1))
-        TileRow(zoom, x, y, bytes, layers.iterator.map(_._2).sum)
+    // phase 2: merge packed buckets per tile (hash agg again — partials are
+    // already arrays, the merge shuffle is light), then one pass groups into
+    // named layers (sorted by name) with deterministic id order inside each
+    // layer and concatenates the pre-encoded fragments into layer + tile bytes
+    packed
+      .groupBy(col("x"), col("y"))
+      .agg(flatten(collect_list(col("feats"))).as("feats"))
+      .as[PackedTile]
+      .map(p => encodeTile(zoom, p.x, p.y, p.feats, opts))
+  }
+
+  /** Encode one tile from its merged features (deterministic: layers sorted by
+    * name, features id-sorted inside each layer).
+    */
+  private def encodeTile(zoom: Int, x: Int, y: Int, feats: Array[Feat], opts: Options): TileRow = {
+    val layers = feats
+      .groupBy(f => if (f.layer == null) opts.layerName else f.layer)
+      .toSeq.sortBy(_._1)
+      .map { case (name, fs) =>
+        val ordered = TileBuilder.orderRawFeatures(
+          fs.sortBy(_.id).map(f => Mvt.RawFeature(f.id, f.gt, f.payload, f.area)).toSeq,
+          opts.orderAreas)
+        (Mvt.encodeLayerRawBytes(name, opts.extent, ordered), fs.length)
       }
+    val bytes = Mvt.encodeTileFromLayerBytes(layers.map(_._1))
+    TileRow(zoom, x, y, bytes, layers.iterator.map(_._2).sum)
   }
 
   /** Build the full pyramid [minZoom, maxZoom], coarsest last. `reduce` runs
@@ -217,7 +295,15 @@ object TilePipeline {
     * input is scanned once, not once per zoom; frames are persisted between
     * zooms (reference's optional DISK_ONLY persist, `VectorPipe.scala:188`).
     *
+    * Keys ride UNEXPLODED as `keys: array<struct<x,y>>` — one row per
+    * (id, layer) with the geometry stored once — and each re-key dedupes
+    * parents per row with [[vps.sql.ParentTileKeys]] MAP-SIDE (the reference's
+    * per-row `reduceKeys`): zero shuffles between zooms, where an exploded
+    * frame would pay a full-row dropDuplicates exchange (WKB included) per
+    * zoom. The only exchange per zoom is packAndEncode's tile aggregation.
+    *
     * Output tiles are byte-identical to [[pyramid]] — see [[tileZoomKeyed]].
+    * `reduce` receives the keys-array frame (id, layer, geom, keys).
     *
     * Materializes each zoom eagerly via `sink` (needed to unpersist frames
     * deterministically); returns per-zoom (tiles, features) counts.
@@ -232,15 +318,12 @@ object TilePipeline {
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)(
       sink: (Int, Dataset[TileRow]) => Unit): Seq[(Int, Long, Long)] = {
     require(minZoom <= maxZoom)
-    val spark = input.sparkSession
-    import spark.implicits._
     val layerExpr = opts.layerColumn
       .map(c => col(c).cast("string"))
       .getOrElse(lit(null).cast("string"))
     var frame = input
       .select(col("id").cast("long").as("id"), layerExpr.as("layer"), col("geom"),
-        explode(tile_keys(col("geom"), maxZoom)).as("k"))
-      .select(col("id"), col("layer"), col("geom"), col("k.x").as("x"), col("k.y").as("y"))
+        tile_keys(col("geom"), maxZoom).as("keys"))
     val out = Seq.newBuilder[(Int, Long, Long)]
     var z = maxZoom
     var prev: Option[DataFrame] = None
@@ -255,11 +338,8 @@ object TilePipeline {
       prev.foreach(_.unpersist())
       prev = Some(frame)
       if (z > minZoom) {
-        // re-key: parents of the previous frame's keys, deduped per feature
-        frame = frame
-          .select(col("id"), col("layer"), col("geom"),
-            shiftright(col("x"), 1).as("x"), shiftright(col("y"), 1).as("y"))
-          .dropDuplicates("id", "layer", "x", "y")
+        // re-key: halve + dedupe the key array per row — no shuffle
+        frame = frame.withColumn("keys", parent_tile_keys(col("keys")))
       }
       z -= 1
     }

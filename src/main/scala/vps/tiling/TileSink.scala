@@ -14,15 +14,19 @@ import org.apache.spark.sql.Dataset
   * tile bytes are deterministic (features id-sorted), so a partial overwrite is
   * byte-identical.
   *
-  * Lineage records carry a layout fingerprint (the job's partition count): a
-  * re-run with different parallelism/AQE layout maps tiles to different
-  * partition ids, so a stale record from another layout must NOT suppress the
-  * partition — on fingerprint mismatch the partition rewrites and re-commits.
+  * Lineage records carry a two-part fingerprint — the job's partition count
+  * AND an order-independent hash of the partition's tile-key set: a re-run
+  * with a different parallelism/AQE layout maps tiles to different partition
+  * ids, and a re-run whose layout matches but whose input changed maps
+  * DIFFERENT tiles to the same partition id; in both cases the stale record
+  * must not suppress the partition — on any mismatch it rewrites and
+  * re-commits.
   */
 object TileSink {
 
   final case class PartitionLineage(
-      zoom: Int, partition: Int, tiles: Long, features: Long, bytes: Long, parts: Int)
+      zoom: Int, partition: Int, tiles: Long, features: Long, bytes: Long, parts: Int,
+      keysig: Long)
 
   def write(tiles: Dataset[TilePipeline.TileRow], dir: String): Seq[PartitionLineage] = {
     val spark = tiles.sparkSession
@@ -43,6 +47,16 @@ object TileSink {
       if (buffered.isEmpty) Iterator.empty
       else {
         val zoom = buffered.head.zoom
+        // order-independent fingerprint of the partition's tile-key set: a
+        // resume only skips when BOTH the layout (parts) and the exact tiles
+        // this partition carries match the committed record — equal partition
+        // COUNTS with a different tile->partition mapping (changed input under
+        // the same layout) rewrite instead of silently skipping
+        var keysig = 0L
+        buffered.foreach { t =>
+          keysig ^= vps.text.TextOps.mix64(
+            (t.zoom.toLong << 58) ^ (t.x.toLong << 29) ^ t.y.toLong)
+        }
         val lineagePath = new Path(s"$out/_lineage/z$zoom/part-$pid.json")
         val prior: Option[PartitionLineage] =
           if (fs.exists(lineagePath)) {
@@ -51,7 +65,7 @@ object TileSink {
             Some(parseLineage(txt))
           } else None
         prior match {
-          case Some(rec) if rec.parts == nParts =>
+          case Some(rec) if rec.parts == nParts && rec.keysig == keysig =>
             // committed by a previous run under the SAME layout: skip (resume)
             Iterator.single(rec)
           case _ =>
@@ -67,7 +81,7 @@ object TileSink {
               if (!fs.rename(tmp, p)) throw new java.io.IOException(s"rename failed for $p")
               nTiles += 1; nFeatures += t.features; nBytes += t.mvt.length
             }
-            val rec = PartitionLineage(zoom, pid, nTiles, nFeatures, nBytes, nParts)
+            val rec = PartitionLineage(zoom, pid, nTiles, nFeatures, nBytes, nParts, keysig)
             val tmp = new Path(s"$out/_lineage/z$zoom/.part-$pid.tmp")
             fs.mkdirs(tmp.getParent)
             val os = fs.create(tmp, true)
@@ -81,13 +95,15 @@ object TileSink {
   }
 
   private def lineageJson(r: PartitionLineage): String =
-    s"""{"zoom":${r.zoom},"partition":${r.partition},"tiles":${r.tiles},"features":${r.features},"bytes":${r.bytes},"parts":${r.parts}}"""
+    s"""{"zoom":${r.zoom},"partition":${r.partition},"tiles":${r.tiles},"features":${r.features},"bytes":${r.bytes},"parts":${r.parts},"keysig":${r.keysig}}"""
 
   private def parseLineage(s: String): PartitionLineage = {
     def field(n: String, default: Long = -1L): Long =
       if (s.contains("\"" + n + "\":")) s.split("\"" + n + "\":")(1).split("[,}]")(0).toLong
       else default
+    // a record without keysig (older format) never matches -> safe rewrite
     PartitionLineage(field("zoom").toInt, field("partition").toInt,
-      field("tiles"), field("features"), field("bytes"), field("parts").toInt)
+      field("tiles"), field("features"), field("bytes"), field("parts").toInt,
+      field("keysig", Long.MinValue))
   }
 }

@@ -50,15 +50,77 @@ class ProjSpec extends AnyFunSuite {
     }
   }
 
+  test("LCC grid origins: (lon0, lat0) maps exactly to (FE, FN)") {
+    // EPSG registry anchors: natural origin of each grid
+    val cases = Seq(
+      (Proj.Lambert93, 3.0, 46.5, 700000.0, 6600000.0), // EPSG:2154
+      (Proj.LccEurope, 10.0, 52.0, 4000000.0, 2800000.0), // EPSG:3034
+      (Proj.LccCanada, -95.0, 49.0, 0.0, 0.0)) // EPSG:3978
+    cases.foreach { case (crs, lon0, lat0, fe, fn) =>
+      val (x, y) = crs.forward(lon0, lat0)
+      assert(math.abs(x - fe) < 1e-6 && math.abs(y - fn) < 1e-6, s"$crs origin -> ($x, $y)")
+    }
+  }
+
+  test("LCC scale factor is 1 on the standard parallels (independent finite-difference check)") {
+    val a = 6378137.0
+    val f = 1.0 / 298.257222101
+    val e2 = f * (2 - f)
+    Seq(Proj.Lambert93 -> Seq(49.0, 44.0), Proj.LccEurope -> Seq(35.0, 65.0),
+      Proj.LccCanada -> Seq(49.0, 77.0)).foreach { case (crs, parallels) =>
+      parallels.foreach { lat =>
+        // closed-form k
+        assert(math.abs(crs.scaleAt(lat) - 1.0) < 1e-12, s"k(${lat}) for $crs")
+        // independent: projected chord along the parallel vs ellipsoidal arc
+        // length d = dLam * nu * cos(phi), nu = a / sqrt(1 - e^2 sin^2 phi)
+        val phi = math.toRadians(lat)
+        val dLam = math.toRadians(1e-4)
+        val (x1, y1) = crs.forward(20.0, lat)
+        val (x2, y2) = crs.forward(20.0 + 1e-4, lat)
+        val chord = math.hypot(x2 - x1, y2 - y1)
+        val nu = a / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
+        val arc = dLam * nu * math.cos(phi)
+        assert(math.abs(chord / arc - 1.0) < 1e-8, s"finite-diff k at $lat for $crs: ${chord / arc}")
+      }
+      // and k > 1 outside the parallels, < 1 between them (conic behavior)
+      val (lo, hi) = (parallels.min, parallels.max)
+      assert(crs.scaleAt((lo + hi) / 2) < 1.0)
+      assert(crs.scaleAt(hi + 3.0) > 1.0)
+    }
+  }
+
+  test("LCC round trips are exact to sub-mm across each grid's domain") {
+    def roundTrip(crs: Proj.Lcc, lon: Double, lat: Double): Unit = {
+      val (x, y) = crs.forward(lon, lat)
+      val (lon2, lat2) = crs.inverse(x, y)
+      assert(math.abs(lon2 - lon) < 1e-9, s"lon $lon,$lat $crs")
+      assert(math.abs(lat2 - lat) < 1e-9, s"lat $lon,$lat $crs")
+    }
+    for (lon <- Seq(-4.5, 0.0, 2.35, 5.1, 8.2); lat <- Seq(41.5, 44.0, 46.5, 48.85, 51.0))
+      roundTrip(Proj.Lambert93, lon, lat)
+    for (lon <- Seq(-10.0, 0.0, 10.0, 25.0); lat <- Seq(35.0, 47.0, 60.0, 70.0))
+      roundTrip(Proj.LccEurope, lon, lat)
+    for (lon <- Seq(-140.0, -110.0, -95.0, -60.0); lat <- Seq(42.0, 49.0, 63.0, 80.0))
+      roundTrip(Proj.LccCanada, lon, lat)
+  }
+
   test("CRS parse + transform composition 3857 <-> UTM routes through 4326") {
     assert(Proj.parse("EPSG:4326") === Proj.LonLat)
     assert(Proj.parse("epsg:3857") === Proj.WebMercator)
     assert(Proj.parse("EPSG:32633") === Proj.Utm(33, south = false))
     assert(Proj.parse("EPSG:32733") === Proj.Utm(33, south = true))
+    assert(Proj.parse("EPSG:2154") === Proj.Lambert93)
+    assert(Proj.parse("3034") === Proj.LccEurope)
+    assert(Proj.parse("epsg:3978") === Proj.LccCanada)
     intercept[IllegalArgumentException](Proj.parse("EPSG:27700"))
     val (mx, my) = Proj.transform(15.5, 47.1, Proj.LonLat, Proj.WebMercator)
     val (ue, un) = Proj.transform(mx, my, Proj.WebMercator, Proj.Utm(33, south = false))
     val (lon, lat) = Proj.transform(ue, un, Proj.Utm(33, south = false), Proj.LonLat)
     assert(math.abs(lon - 15.5) < 1e-9 && math.abs(lat - 47.1) < 1e-9)
+    // Lambert-93 <-> UTM 31N composition (both cover central France)
+    val (le, ln) = Proj.transform(2.35, 48.85, Proj.LonLat, Proj.Lambert93)
+    val (ue2, un2) = Proj.transform(le, ln, Proj.Lambert93, Proj.Utm(31, south = false))
+    val (lon2, lat2) = Proj.transform(ue2, un2, Proj.Utm(31, south = false), Proj.LonLat)
+    assert(math.abs(lon2 - 2.35) < 1e-9 && math.abs(lat2 - 48.85) < 1e-9)
   }
 }

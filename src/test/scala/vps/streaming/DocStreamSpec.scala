@@ -73,6 +73,37 @@ class DocStreamSpec extends AnyFunSuite {
     assert(perSeq.values.forall(_ === 10L), s"resume must not duplicate: $perSeq")
   }
 
+  test("changesets feed: distinct nested schema, stream == batch mirror, clamp + drain") {
+    val q = spark.readStream
+      .format("changesets")
+      .option("head", 6)
+      .option("batch_size", 2)
+      .option("rows_per_sequence", 25)
+      .load()
+      .writeStream.format("memory").queryName("cs").trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("cs")
+      assert(out.count() === 6L * 25)
+      assert(out.schema === Changesets.schema)
+      // nested comments array content matches the shared generator exactly
+      val got = out.where($"changeset_id" === 123L)
+        .select($"user", $"closed_at", $"open", explode($"comments").as("c"))
+        .select($"user", $"closed_at", $"open", $"c.user", $"c.ts", $"c.text")
+        .as[(String, Option[Long], Boolean, String, Long, String)].collect().toSet
+      val want = Changesets.value(123 / 25, 123 % 25, 25)
+      assert(got === want.comments.map(c =>
+        (want.user, want.closed_at, want.open, c.user, c.ts, c.text)).toSet)
+      // the full drained stream equals the batch mirror row-for-row
+      val streamRows = out.drop("comments")
+        .orderBy("changeset_id").collect().map(_.toSeq).toSeq
+      val batchRows = Changesets.frame(spark, 6, 25).drop("comments")
+        .orderBy("changeset_id").collect().map(_.toSeq).toSeq
+      assert(streamRows === batchRows)
+    } finally q.stop()
+  }
+
   test("streaming aggregation over the source (windowless count by kind)") {
     val q = spark.readStream
       .format("interleaved-docs")

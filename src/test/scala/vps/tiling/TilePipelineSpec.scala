@@ -70,16 +70,19 @@ class TilePipelineSpec extends AnyFunSuite {
     assert(counts(2)._1 <= counts(3)._1 && counts(3)._1 <= counts(4)._1)
   }
 
-  test("fused-fragment and wkbPhase1 paths produce byte-identical tiles") {
+  test("all pack strategies produce byte-identical tiles") {
     val poly = Seq((424242L, "POLYGON ((-10 -10, 10 -10, 10 10, -10 10, -10 -10))"))
       .toDF("id", "wkt").select($"id", st_geomFromWKT($"wkt").as("geom"))
     val input = geoms.unionByName(poly)
-    val fused = TilePipeline.tileZoom(input, 5).collect()
+    val fused = TilePipeline.tileZoom(input, 5).collect() // SinglePhase default
       .map(t => (t.x, t.y) -> t.mvt.toSeq).toMap
-    val wkb = TilePipeline.tileZoom(input, 5, TilePipeline.Options(wkbPhase1 = true))
-      .collect().map(t => (t.x, t.y) -> t.mvt.toSeq).toMap
-    assert(fused.keySet === wkb.keySet)
-    fused.foreach { case (k, bytes) => assert(wkb(k) === bytes, s"tile $k differs") }
+    Seq(TilePipeline.PackStrategy.WkbPhase1, TilePipeline.PackStrategy.SaltedSort,
+      TilePipeline.PackStrategy.SaltedHash).foreach { strat =>
+      val alt = TilePipeline.tileZoom(input, 5, TilePipeline.Options(strategy = strat))
+        .collect().map(t => (t.x, t.y) -> t.mvt.toSeq).toMap
+      assert(alt.keySet === fused.keySet, s"$strat key set")
+      fused.foreach { case (k, bytes) => assert(alt(k) === bytes, s"tile $k differs ($strat)") }
+    }
   }
 
   test("multi-layer tiles: features split into named layers by a string column") {
@@ -176,5 +179,52 @@ class TilePipelineSpec extends AnyFunSuite {
     val f = new java.io.File(s"$dir/4").listFiles().head.listFiles()
       .filter(f => f.getName.endsWith(".mvt") && !f.getName.startsWith(".")).head
     assert(Mvt.decode(java.nio.file.Files.readAllBytes(f.toPath)).layers.head.name === "pts")
+  }
+
+  test("VectorPipe facade: re-key pyramid with two named layers decodes both from disk") {
+    val dir = java.nio.file.Files.createTempDirectory("vpipe2").toString
+    val layered = geoms.withColumn("kind", when($"id" % 20 < 10, "buildings").otherwise("roads"))
+    val errs = vps.geom.GeomErrors.channel(spark, "facade-clip")
+    val pipeline = new Pipeline {
+      override def layerColumn = Some("kind")
+      override def clipTimeoutMs = 2000L
+    }
+    val levels = VectorPipe(layered, pipeline, VectorPipe.Options(
+      minZoom = 3, maxZoom = 4, outputDir = Some(dir), rekeyPyramid = true,
+      errors = Some(errs)))
+    assert(levels.map(_._1) === Seq(4, 3))
+    assert(errs.count === 0L) // clean inputs: nothing timed out
+    // decode every written tile; both layers must appear at each zoom and
+    // per-zoom feature totals must equal the input count
+    Seq(3, 4).foreach { z =>
+      var names = Set.empty[String]
+      var features = 0L
+      val zDir = new java.io.File(s"$dir/$z")
+      assert(zDir.exists, s"zoom $z written")
+      zDir.listFiles().foreach(_.listFiles()
+        .filter(f => f.getName.endsWith(".mvt") && !f.getName.startsWith(".")).foreach { f =>
+          val t = Mvt.decode(java.nio.file.Files.readAllBytes(f.toPath))
+          assert(t.layers.map(_.name) === t.layers.map(_.name).sorted)
+          names ++= t.layers.map(_.name)
+          features += t.layers.map(_.features.size).sum
+        })
+      assert(names === Set("buildings", "roads"), s"zoom $z layers: $names")
+      assert(features === geoms.count(), s"zoom $z feature total")
+    }
+    // byte-identity with the per-zoom recompute facade path
+    val dir2 = java.nio.file.Files.createTempDirectory("vpipe3").toString
+    VectorPipe(layered, pipeline, VectorPipe.Options(
+      minZoom = 3, maxZoom = 4, outputDir = Some(dir2), rekeyPyramid = false))
+    Seq(3, 4).foreach { z =>
+      val left = new java.io.File(s"$dir/$z")
+      left.listFiles().foreach(xd => xd.listFiles()
+        .filter(f => f.getName.endsWith(".mvt") && !f.getName.startsWith(".")).foreach { f =>
+          val other = new java.io.File(s"$dir2/$z/${xd.getName}/${f.getName}")
+          assert(other.exists, s"missing ${other}")
+          assert(java.util.Arrays.equals(
+            java.nio.file.Files.readAllBytes(f.toPath),
+            java.nio.file.Files.readAllBytes(other.toPath)), s"bytes differ: $f")
+        })
+    }
   }
 }
