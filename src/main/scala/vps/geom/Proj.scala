@@ -9,6 +9,11 @@ package vps.geom
   * - EPSG:326xx / 327xx (WGS84 UTM zone xx north/south) via the Krüger series
   *   (Karney 2011, "Transverse Mercator with an accuracy of a few nanometers")
   *   truncated at n^4 — micrometer-level inside a UTM zone.
+  * - EPSG:2154 / 3034 / 3978 (Lambert conformal conic national grids on
+  *   GRS80 — Snyder 1987 §15 closed forms)
+  * - EPSG:27700 (OSGB36 / British National Grid: generalized Krüger TM on
+  *   Airy 1830 + 7-parameter Helmert datum shift, OS public constants, ~5 m
+  *   country-wide — OSTN correction grids are a native-proj feature)
   *
   * All transforms route through 4326, so any supported pair composes.
   */
@@ -97,10 +102,144 @@ object Proj {
 
   private def atanh(x: Double): Double = 0.5 * math.log((1.0 + x) / (1.0 - x))
 
+  /** Krüger transverse Mercator over an ARBITRARY ellipsoid + grid origin —
+    * the same n^4 series as the UTM path, parameterized for national grids
+    * (e.g. Airy 1830 + the OSGB true origin at 49N 2W). Geodetic coordinates
+    * are in the grid's own datum; datum shifts are layered on top
+    * ([[Helmert]]).
+    */
+  final class KruegerTm(a: Double, invF: Double, k0: Double,
+      lat0: Double, lon0: Double, fe: Double, fn: Double) {
+    private val f = 1.0 / invF
+    private val n = f / (2.0 - f)
+    private val n2 = n * n; private val n3 = n2 * n; private val n4 = n3 * n
+    private val aRect = a / (1.0 + n) * (1.0 + n2 / 4.0 + n2 * n2 / 64.0)
+    private val alpha = Array(
+      n / 2.0 - 2.0 * n2 / 3.0 + 5.0 * n3 / 16.0 + 41.0 * n4 / 180.0,
+      13.0 * n2 / 48.0 - 3.0 * n3 / 5.0 + 557.0 * n4 / 1440.0,
+      61.0 * n3 / 240.0 - 103.0 * n4 / 140.0,
+      49561.0 * n4 / 161280.0)
+    private val beta = Array(
+      n / 2.0 - 2.0 * n2 / 3.0 + 37.0 * n3 / 96.0 - n4 / 360.0,
+      n2 / 48.0 + n3 / 15.0 - 437.0 * n4 / 1440.0,
+      17.0 * n3 / 480.0 - 37.0 * n4 / 840.0,
+      4397.0 * n4 / 161280.0)
+    private val delta = Array(
+      2.0 * n - 2.0 * n2 / 3.0 - 2.0 * n3 + 116.0 * n4 / 45.0,
+      7.0 * n2 / 3.0 - 8.0 * n3 / 5.0 - 227.0 * n4 / 45.0,
+      56.0 * n3 / 15.0 - 136.0 * n4 / 35.0,
+      4279.0 * n4 / 630.0)
+    private val c = 2.0 * math.sqrt(n) / (1.0 + n)
+
+    private def xiEta(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat)
+      val dLam = math.toRadians(lon) - math.toRadians(lon0)
+      val sinPhi = math.sin(phi)
+      val t = math.sinh(atanh(sinPhi) - c * atanh(c * sinPhi))
+      val xiP = math.atan2(t, math.cos(dLam))
+      val etaP = atanh(math.sin(dLam) / math.sqrt(1.0 + t * t))
+      var xi = xiP; var eta = etaP
+      var j = 1
+      while (j <= 4) {
+        xi += alpha(j - 1) * math.sin(2.0 * j * xiP) * math.cosh(2.0 * j * etaP)
+        eta += alpha(j - 1) * math.cos(2.0 * j * xiP) * math.sinh(2.0 * j * etaP)
+        j += 1
+      }
+      (xi, eta)
+    }
+    /** northing of the grid's latitude-of-origin on the central meridian */
+    private val m0 = k0 * aRect * xiEta(lon0, lat0)._1
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val (xi, eta) = xiEta(lon, lat)
+      (fe + k0 * aRect * eta, fn + k0 * aRect * xi - m0)
+    }
+
+    def inverse(e: Double, nth: Double): (Double, Double) = {
+      val xi0 = (nth - fn + m0) / (k0 * aRect)
+      val eta0 = (e - fe) / (k0 * aRect)
+      var xiP = xi0; var etaP = eta0
+      var j = 1
+      while (j <= 4) {
+        xiP -= beta(j - 1) * math.sin(2.0 * j * xi0) * math.cosh(2.0 * j * eta0)
+        etaP -= beta(j - 1) * math.cos(2.0 * j * xi0) * math.sinh(2.0 * j * eta0)
+        j += 1
+      }
+      val chi = math.asin(math.sin(xiP) / math.cosh(etaP))
+      var phi = chi
+      j = 1
+      while (j <= 4) { phi += delta(j - 1) * math.sin(2.0 * j * chi); j += 1 }
+      val lam = math.toRadians(lon0) + math.atan2(math.sinh(etaP), math.cos(xiP))
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
+  /** 7-parameter Helmert datum shift (position-vector convention, small-angle
+    * rotation matrix; rotations in arc-seconds, scale in ppm). `inverse` is
+    * the standard negated-parameter approximation.
+    */
+  final case class Helmert(tx: Double, ty: Double, tz: Double,
+      rxSec: Double, rySec: Double, rzSec: Double, ppm: Double) {
+    private val rx = math.toRadians(rxSec / 3600.0)
+    private val ry = math.toRadians(rySec / 3600.0)
+    private val rz = math.toRadians(rzSec / 3600.0)
+    private val s = 1.0 + ppm * 1e-6
+    def apply(x: Double, y: Double, z: Double): (Double, Double, Double) = (
+      tx + s * (x - rz * y + ry * z),
+      ty + s * (rz * x + y - rx * z),
+      tz + s * (-ry * x + rx * y + z))
+    def inverse: Helmert = Helmert(-tx, -ty, -tz, -rxSec, -rySec, -rzSec, -ppm)
+  }
+
+  /** geodetic (degrees) -> earth-centred cartesian on an ellipsoid (h = 0) */
+  def geodeticToCart(lon: Double, lat: Double, a: Double, invF: Double): (Double, Double, Double) = {
+    val f = 1.0 / invF
+    val e2 = f * (2.0 - f)
+    val phi = math.toRadians(lat); val lam = math.toRadians(lon)
+    val nu = a / math.sqrt(1.0 - e2 * math.sin(phi) * math.sin(phi))
+    (nu * math.cos(phi) * math.cos(lam),
+      nu * math.cos(phi) * math.sin(lam),
+      nu * (1.0 - e2) * math.sin(phi))
+  }
+
+  /** cartesian -> geodetic (degrees), iterative latitude (h discarded) */
+  def cartToGeodetic(x: Double, y: Double, z: Double, a: Double, invF: Double): (Double, Double) = {
+    val f = 1.0 / invF
+    val e2 = f * (2.0 - f)
+    val lam = math.atan2(y, x)
+    val p = math.hypot(x, y)
+    var phi = math.atan2(z, p * (1.0 - e2))
+    var i = 0
+    while (i < 10) {
+      val nu = a / math.sqrt(1.0 - e2 * math.sin(phi) * math.sin(phi))
+      val h = p / math.cos(phi) - nu
+      phi = math.atan2(z, p * (1.0 - e2 * nu / (nu + h)))
+      i += 1
+    }
+    (math.toDegrees(lam), math.toDegrees(phi))
+  }
+
+  // Airy 1830 (OSGB36): a, b = 6377563.396, 6356256.909
+  private val AiryA = 6377563.396
+  private val AiryInvF = AiryA / (AiryA - 6356256.909)
+  /** OSGB national grid TM: k0, true origin 49N 2W, FE/FN 400000/-100000. */
+  private[geom] val OsgbTm = new KruegerTm(AiryA, AiryInvF, 0.9996012717,
+    lat0 = 49.0, lon0 = -2.0, fe = 400000.0, fn = -100000.0)
+  /** WGS84 -> OSGB36 Helmert (OS "Guide to coordinate systems", ~5 m single
+    * transformation for the whole country; OSTN grids are a native-proj
+    * feature by design).
+    */
+  private[geom] val Wgs84ToOsgb36 = Helmert(-446.448, 125.157, -542.060,
+    -0.1502, -0.2470, -0.8421, 20.4894)
+
   sealed trait Crs
   case object LonLat extends Crs
   case object WebMercator extends Crs
   final case class Utm(zone: Int, south: Boolean) extends Crs
+  /** EPSG:27700 — OSGB36 / British National Grid (Airy 1830 TM + Helmert
+    * datum shift to/from the WGS84 hub).
+    */
+  case object BritishNationalGrid extends Crs
 
   /** Lambert conformal conic, 2SP (ellipsoidal closed forms — Snyder 1987
     * §15 / EPSG guidance note 7-2). Angles in degrees; `a`/`invF` default to
@@ -187,13 +326,14 @@ object Proj {
     case "epsg:2154" | "2154" => Lambert93
     case "epsg:3034" | "3034" => LccEurope
     case "epsg:3978" | "3978" => LccCanada
+    case "epsg:27700" | "27700" => BritishNationalGrid
     case UtmRe(series, zone) =>
       val z = zone.toInt
       require(z >= 1 && z <= 60, s"UTM zone $z out of [1,60]")
       Utm(z, south = series == "327")
     case other => throw new IllegalArgumentException(
       s"unsupported CRS '$other' (supported: EPSG:4326, EPSG:3857, " +
-        "EPSG:326xx/327xx, EPSG:2154/3034/3978)")
+        "EPSG:326xx/327xx, EPSG:2154/3034/3978, EPSG:27700)")
   }
 
   /** Point transform `from` -> `to`, routed through lon/lat. */
@@ -203,12 +343,22 @@ object Proj {
       case WebMercator => (TileMath.mercXToLon(x), TileMath.mercYToLat(y))
       case Utm(z, s) => utmToLonLat(x, y, z, s)
       case l: Lcc => l.inverse(x, y)
+      case BritishNationalGrid =>
+        val (lonO, latO) = OsgbTm.inverse(x, y) // OSGB36 geodetic
+        val (cx, cy, cz) = geodeticToCart(lonO, latO, AiryA, AiryInvF)
+        val (wx, wy, wz) = Wgs84ToOsgb36.inverse(cx, cy, cz)
+        cartToGeodetic(wx, wy, wz, A, 1.0 / F)
     }
     to match {
       case LonLat => (lon, lat)
       case WebMercator => (TileMath.lonToMercX(lon), TileMath.latToMercY(lat))
       case Utm(z, s) => lonLatToUtm(lon, lat, z, s)
       case l: Lcc => l.forward(lon, lat)
+      case BritishNationalGrid =>
+        val (cx, cy, cz) = geodeticToCart(lon, lat, A, 1.0 / F)
+        val (ox, oy, oz) = Wgs84ToOsgb36(cx, cy, cz)
+        val (lonO, latO) = cartToGeodetic(ox, oy, oz, AiryA, AiryInvF)
+        OsgbTm.forward(lonO, latO)
     }
   }
 }

@@ -69,6 +69,18 @@ object ExplainCheck {
       .groupBy("l_returnflag").agg(sum("l_quantity"))
     audit("partial agg", partial, Seq("HashAggregate", "Exchange"))
 
+    // 6) single-phase tiling: exactly ONE exchange in the whole plan (the
+    // fused fragment generator runs map-side; tile encode in the reducer)
+    val tilesDf = vps.tiling.TilePipeline.tileZoom(
+      pts.select((col("id")).as("id"), col("geom")), 6).toDF()
+    tilesDf.collect()
+    // final AQE plan only (the executed-plan string appends "== Initial Plan ==")
+    val tilePlan = tilesDf.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    val nHash = "Exchange hashpartitioning".r.findAllIn(tilePlan).length
+    println(s"\n========== single-phase tiling exchange count ==========")
+    println(s"[check] ${if (nHash == 1) "PASS" else s"MISS ($nHash)"}: " +
+      "exactly one hash Exchange (the tile key; corpus-synthesis round-robin spread excluded)")
+
     spark.stop()
   }
 }

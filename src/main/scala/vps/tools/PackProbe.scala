@@ -35,7 +35,13 @@ object PackProbe {
     strats.foreach(run) // warm all
     val times = strats.map(_ -> Array.newBuilder[Double]).toMap
     (1 to rounds).foreach { r =>
-      val row = strats.map { s => val t = run(s); times(s) += t; f"$s=$t%.2f" }
+      // rotate order per round + GC between runs: otherwise the strategy that
+      // always follows the allocation-heavy one inherits its GC debt
+      val order = strats.drop(r % strats.length) ++ strats.take(r % strats.length)
+      val row = order.map { s =>
+        System.gc(); Thread.sleep(1000)
+        val t = run(s); times(s) += t; f"$s=$t%.2f"
+      }
       println(s"round $r: ${row.mkString(" ")}")
     }
     val summary = strats.map { s =>

@@ -104,6 +104,31 @@ class ProjSpec extends AnyFunSuite {
       roundTrip(Proj.LccCanada, lon, lat)
   }
 
+  test("British National Grid: true origin, OS worked example, WGS84 round trip") {
+    // true origin (49N 2W, OSGB36 datum) maps exactly to (400000, -100000)
+    val (e0, n0) = Proj.OsgbTm.forward(-2.0, 49.0)
+    assert(math.abs(e0 - 400000.0) < 1e-6 && math.abs(n0 - (-100000.0)) < 1e-6)
+    // OS 'Guide to coordinate systems in Great Britain' worked example
+    // (OSGB36 geodetic -> grid): 52d39'27.2531"N 1d43'4.5177"E ->
+    // E 651409.903 N 313177.270 (published to mm)
+    val lat = 52.0 + 39.0 / 60 + 27.2531 / 3600
+    val lon = 1.0 + 43.0 / 60 + 4.5177 / 3600
+    val (e, n) = Proj.OsgbTm.forward(lon, lat)
+    assert(math.abs(e - 651409.903) < 0.01, s"E=$e")
+    assert(math.abs(n - 313177.270) < 0.01, s"N=$n")
+    // full chain (WGS84 hub + Helmert): round trip to ~cm, shift is ~100 m
+    val wgs = Seq((-2.0, 49.0), (0.0, 51.5), (-3.2, 55.95), (-5.9, 54.6))
+    wgs.foreach { case (lo, la) =>
+      val (ge, gn) = Proj.transform(lo, la, Proj.LonLat, Proj.BritishNationalGrid)
+      val (lo2, la2) = Proj.transform(ge, gn, Proj.BritishNationalGrid, Proj.LonLat)
+      assert(math.abs(lo2 - lo) < 1e-7 && math.abs(la2 - la) < 1e-7, s"round trip $lo,$la")
+    }
+    val (ge, gn) = Proj.transform(-2.0, 49.0, Proj.LonLat, Proj.BritishNationalGrid)
+    val shift = math.hypot(ge - 400000.0, gn + 100000.0)
+    assert(shift > 50 && shift < 300, s"datum shift magnitude $shift m")
+    assert(Proj.parse("EPSG:27700") === Proj.BritishNationalGrid)
+  }
+
   test("CRS parse + transform composition 3857 <-> UTM routes through 4326") {
     assert(Proj.parse("EPSG:4326") === Proj.LonLat)
     assert(Proj.parse("epsg:3857") === Proj.WebMercator)
@@ -112,7 +137,7 @@ class ProjSpec extends AnyFunSuite {
     assert(Proj.parse("EPSG:2154") === Proj.Lambert93)
     assert(Proj.parse("3034") === Proj.LccEurope)
     assert(Proj.parse("epsg:3978") === Proj.LccCanada)
-    intercept[IllegalArgumentException](Proj.parse("EPSG:27700"))
+    intercept[IllegalArgumentException](Proj.parse("EPSG:2056")) // Swiss grid: still unsupported
     val (mx, my) = Proj.transform(15.5, 47.1, Proj.LonLat, Proj.WebMercator)
     val (ue, un) = Proj.transform(mx, my, Proj.WebMercator, Proj.Utm(33, south = false))
     val (lon, lat) = Proj.transform(ue, un, Proj.Utm(33, south = false), Proj.LonLat)
