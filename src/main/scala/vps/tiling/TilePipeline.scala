@@ -325,11 +325,19 @@ object TilePipeline {
       .select(col("id").cast("long").as("id"), layerExpr.as("layer"), col("geom"),
         tile_keys(col("geom"), maxZoom).as("keys"))
     val out = Seq.newBuilder[(Int, Long, Long)]
+    // NONE = recompute frames from lineage (no materialization): right when
+    // the input is already cached / cheap to rescan — the persist of a wide
+    // keys-array frame can cost more than re-deriving it (measured). DISK_ONLY
+    // mirrors the reference's option for sources too big to cache.
+    val doPersist = persist != org.apache.spark.storage.StorageLevel.NONE
     var z = maxZoom
     var prev: Option[DataFrame] = None
     while (z >= minZoom) {
-      frame.persist(persist)
-      val tiles = tileZoomKeyed(reduce(frame, z), z, opts).persist(persist)
+      if (doPersist) frame.persist(persist)
+      // tiles (encoded MVTs, small) are always cached: sink and stats would
+      // otherwise each run the tiling job
+      val tiles = tileZoomKeyed(reduce(frame, z), z, opts)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       sink(z, tiles)
       val stats = tiles.toDF()
         .agg(count(lit(1)), sum(col("features").cast("long"))).head()

@@ -56,11 +56,15 @@ object VectorPipe {
       saltBuckets: Int = 8,
       outputDir: Option[String] = None,
       /** Derive coarser zooms by halving the maxZoom keys per row (the
-        * reference's `reduceKeys` fold) — ONE scan + key of the full input,
-        * zero re-key shuffles. False = re-key the full corpus at every zoom
-        * (use when `reduce` rewrites geometry without rewriting keys).
+        * reference's `reduceKeys` fold): the input is scanned ONCE and the
+        * derived frames persist between zooms — the right shape when the
+        * source is too large/expensive to rescan (100 TB object-store reads).
+        * Default false: with a cached/cheap input, per-zoom recompute
+        * measures faster (79.4 s vs 103.7 s, z6-12 at 20M points — native
+        * tile_keys is too cheap for key-reuse to pay; BENCH/BASELINE.md).
+        * Both paths are byte-identical (spec-gated).
         */
-      rekeyPyramid: Boolean = true,
+      rekeyPyramid: Boolean = false,
       /** Counts clip timeouts/failures across the run (rows pass through,
         * never dropped).
         */
