@@ -16,7 +16,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * [[vps.sql.functions.register]].
   */
 class VpsExtensions extends (SparkSessionExtensions => Unit) {
-  import vps.text.{ArrayPairs, CosineSim, DocFingerprint, LangId, MinHashBands, NgramJaccard, SimHash64}
+  import vps.text.{ArrayPairs, CollectCapped, CosineSim, DocFingerprint, LangId, MinHashBands, NgramJaccard, SimHash64}
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     vps.geom.Geo.registerUDTs()
@@ -54,5 +54,9 @@ class VpsExtensions extends (SparkSessionExtensions => Unit) {
     inject("lang_id", e => LangId(e(0)))
     inject("cosine_sim", e => CosineSim(e(0), e(1)))
     inject("array_pairs", e => ArrayPairs(e(0)))
+    // bounded collect_list (cap must be a foldable int literal)
+    inject("collect_capped", e => CollectCapped(e(0),
+      e(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Int])
+      .toAggregateExpression())
   }
 }

@@ -37,6 +37,16 @@ class VpsExtensionsSpec extends AnyFunSuite {
           |                     st_point(CAST(id AS DOUBLE), 5.0)) AS hit
           |  FROM range(20)) WHERE hit""".stripMargin).head().getLong(0)
       assert(n === 9)
+      // bounded collect: group of 5 <= cap collects; group of 15 > cap -> NULL
+      val capped = spark.sql(
+        """SELECT id % 2 AS g, collect_capped(id, 10) AS ids
+          |FROM range(20) WHERE id < 5 OR id % 2 = 1 GROUP BY 1 ORDER BY 1""".stripMargin)
+        .collect()
+      assert(capped(0).getSeq[Long](1).sorted === Seq(0L, 2L, 4L))
+      assert(capped(1).isNullAt(1) === false && capped(1).getSeq[Long](1).length === 10)
+      val overflow = spark.sql(
+        "SELECT collect_capped(id, 10) FROM range(11)").head()
+      assert(overflow.isNullAt(0), "over-cap group must evaluate to NULL")
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
