@@ -370,6 +370,18 @@ object SparkEntry {
         .orderBy("changeset_id")
     }),
 
+    // ---- gap-based sessionization (streaming session_window semantics on
+    // the batch mirror; DocStreamSpec gates streaming == batch) ----
+    "q33_sessions" -> ((s, dir) => {
+      vps.streaming.ChangesetSessions.commentSessions(
+        vps.streaming.Changesets.frame(s, sequences = 20, rowsPerSeq = 100), gapSeconds = 600)
+        .select(col("user"),
+          col("session_start").cast("long").as("session_start"),
+          col("session_end").cast("long").as("session_end"),
+          col("n_comments"))
+        .orderBy("user", "session_start")
+    }),
+
     // ---- reverse geocode (broadcast pip + per-row region names) ----
     "q30_geocode" -> ((s, dir) => {
       val pts = geoPoints(s, dir)
@@ -593,6 +605,24 @@ object SparkEntry {
           |  CAST(CASE WHEN i % 5 = 0 THEN 0 ELSE 1600000000 + i * 37 + 3600 END AS BIGINT)
           |    AS closed_at
           |FROM range(2000) t(i) ORDER BY 1""".stripMargin,
+      "q33_sessions" ->
+        """WITH ev AS (
+          |  SELECT 'user' || CAST((((i * 7919) % 1000) + k + 1) % 1000 AS VARCHAR) AS user,
+          |         1600000000 + i * 37 + 60 * (k + 1) AS ts
+          |  FROM range(2000) t(i), range(3) s(k) WHERE k < i % 4),
+          |flagged AS (
+          |  SELECT user, ts,
+          |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user ORDER BY ts) < 600
+          |         THEN 0 ELSE 1 END AS new_s
+          |  FROM ev),
+          |sess AS (
+          |  SELECT user, ts,
+          |    sum(new_s) OVER (PARTITION BY user ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+          |  FROM flagged)
+          |SELECT user, CAST(min(ts) AS BIGINT) AS session_start,
+          |  CAST(max(ts) + 600 AS BIGINT) AS session_end,
+          |  CAST(count(*) AS BIGINT) AS n_comments
+          |FROM sess GROUP BY user, sid ORDER BY user, session_start""".stripMargin,
       "q30_geocode" ->
         s"""WITH pts AS (SELECT id * 10 + span_offset AS pt_id, lon, lat FROM ($geoSpansSql)),
            | polys AS (

@@ -104,6 +104,77 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState: per-user running totals carry across micro-batches") {
+    val q = ChangesetSessions.userActivity(
+      spark.readStream.format("changesets")
+        .option("head", 8).option("batch_size", 2).option("rows_per_sequence", 25)
+        .load())
+      .toDF()
+      .writeStream.format("memory").queryName("activity").outputMode("update")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      q.processAllAvailable()
+      // multiple micro-batches ran (state really crossed batch boundaries)
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
+      // LAST update per user == batch-mirror aggregation over the same range
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"user")
+      val finals = spark.table("activity")
+        .withColumn("best", max($"nChangesets").over(w))
+        .where($"nChangesets" === $"best")
+        .select($"user", $"nChangesets", $"nComments", $"lastCreatedAt")
+        .distinct()
+        .as[(String, Long, Long, Long)].collect()
+        .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+      val expected = Changesets.frame(spark, 8, 25)
+        .groupBy($"user")
+        .agg(count(lit(1)), sum(size($"comments")).cast("long"), max($"created_at"))
+        .as[(String, Long, Long, Long)].collect()
+        .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+      assert(finals === expected)
+    } finally q.stop()
+  }
+
+  test("session windows + watermark: gap-based comment sessions (batch oracle, streaming append)") {
+    // batch mode: full deterministic sessionization of the mirror
+    val batch = ChangesetSessions.commentSessions(
+      Changesets.frame(spark, 8, 25), gapSeconds = 600)
+      .as[(String, java.sql.Timestamp, java.sql.Timestamp, Long)].collect()
+      .map { case (u, s, e, n) => (u, s.getTime / 1000, e.getTime / 1000, n) }.toSet
+    assert(batch.nonEmpty)
+    // hand-built oracle straight from the generator
+    val events = (for {
+      seq <- 0 until 8; i <- 0 until 25
+      c <- Changesets.value(seq, i, 25).comments
+    } yield (c.user, c.ts)).groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val oracle = events.flatMap { case (u, ts) =>
+      val sessions = scala.collection.mutable.ArrayBuffer.empty[Vector[Long]]
+      ts.foreach { t =>
+        if (sessions.nonEmpty && t - sessions.last.last < 600) sessions(sessions.length - 1) :+= t
+        else sessions += Vector(t)
+      }
+      sessions.map(s => (u, s.head, s.last + 600, s.length.toLong))
+    }.toSet
+    assert(batch === oracle)
+    // streaming append: emitted sessions are exactly the batch sessions whose
+    // close precedes the final watermark (tail sessions stay in state)
+    val q = ChangesetSessions.commentSessions(
+      spark.readStream.format("changesets")
+        .option("head", 8).option("batch_size", 2).option("rows_per_sequence", 25)
+        .load(), gapSeconds = 600)
+      .writeStream.format("memory").queryName("sessions").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      q.processAllAvailable()
+      val emitted = spark.table("sessions")
+        .as[(String, java.sql.Timestamp, java.sql.Timestamp, Long)].collect()
+        .map { case (u, s, e, n) => (u, s.getTime / 1000, e.getTime / 1000, n) }.toSet
+      assert(emitted.nonEmpty, "watermark must have finalized some sessions")
+      assert(emitted.subsetOf(batch), "streaming sessions must agree with the batch oracle")
+    } finally q.stop()
+  }
+
   test("streaming aggregation over the source (windowless count by kind)") {
     val q = spark.readStream
       .format("interleaved-docs")
