@@ -15,9 +15,8 @@ import vps.sql.functions._
   *
   * Exchange strategy is pluggable (see [[TilePipeline.PackStrategy]]): the
   * default fuses clip + MVT command-int encode map-side and exchanges
-  * pre-encoded fragments ONCE, keyed by tile; salted two-phase variants
-  * (SURVEY.md §4) remain available for map-side-combine regimes and A/B
-  * measurement, all byte-identical.
+  * pre-encoded fragments ONCE, keyed by tile; the salted two-phase variants
+  * (SURVEY.md §4) remain for A/B measurement, all byte-identical.
   */
 /** One encoded tile. */
 final case class TileRow(zoom: Int, x: Int, y: Int, mvt: Array[Byte], features: Int)
@@ -58,11 +57,13 @@ object TilePipeline {
     *   (pack per (tile, salt), merge per tile), sort-based phase 1.
     * - [[PackStrategy.SaltedHash]]: two-phase with a hash-agg phase 1
     *   (collect_list): partial aggregation merges fragments MAP-SIDE, so the
-    *   exchange carries one packed row per (tile, salt, map partition). Wins
-    *   when per-map-partition rows >> tiles x salts (low zooms / production
-    *   occupancy); loses at high zoom where groups ~ rows (measured).
-    *   Requires `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
-    *   raised above the per-partition group count.
+    *   exchange carries one packed row per (tile, salt, map partition).
+    *   Measured SLOWER at every zoom tried (z5 and z8): collecting
+    *   aggregates shrink row count but not bytes, and each fragment pays an
+    *   object-buffer copy — map-side combine only pays for genuinely
+    *   reducing aggregates. Kept as an A/B variant; requires
+    *   `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` raised
+    *   above the per-partition group count.
     * - [[PackStrategy.WkbPhase1]]: A/B baseline — clipped WKB through a
     *   salted exchange, transform+encode reduce-side.
     */

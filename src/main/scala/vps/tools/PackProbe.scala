@@ -5,13 +5,14 @@ import org.apache.spark.sql.functions._
 
 /** Interleaved same-JVM A/B of the pack strategies (single-phase vs salted
   * sort vs salted hash-agg), at one parallelism level.
-  * Usage: runMain vps.tools.PackProbe [replication] [cpus] [rounds]
+  * Usage: runMain vps.tools.PackProbe [replication] [cpus] [rounds] [zoom]
   */
 object PackProbe {
   def main(args: Array[String]): Unit = {
     val rep = args.headOption.map(_.toInt).getOrElse(3000)
     val cpus = args.lift(1).map(_.toInt).getOrElse(16)
     val rounds = args.lift(2).map(_.toInt).getOrElse(3)
+    val zoom = args.lift(3).map(_.toInt).getOrElse(8)
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus * 2)
       .config("spark.local.dir",
@@ -27,7 +28,7 @@ object PackProbe {
     import vps.tiling.TilePipeline.PackStrategy._
     def run(strat: vps.tiling.TilePipeline.PackStrategy): Double = {
       val t0 = System.nanoTime()
-      vps.tiling.TilePipeline.tileZoom(points, 8,
+      vps.tiling.TilePipeline.tileZoom(points, zoom,
         vps.tiling.TilePipeline.Options(strategy = strat)).toDF().agg(count(lit(1))).head()
       (System.nanoTime() - t0) / 1e9
     }
@@ -48,7 +49,7 @@ object PackProbe {
       val ts = times(s).result().sorted
       f"$s best=${ts.head}%.2f median=${ts(ts.length / 2)}%.2f"
     }
-    println(s"cpus=$cpus rep=$rep  ${summary.mkString(" | ")}")
+    println(s"cpus=$cpus rep=$rep zoom=$zoom  ${summary.mkString(" | ")}")
     spark.stop()
   }
 }
