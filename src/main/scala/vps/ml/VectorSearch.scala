@@ -90,20 +90,140 @@ object VectorSearch {
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
 
+  private def hash01(id: Long, round: Int): Double = {
+    val h = vps.text.TextOps.mix64(id * 0x9E3779B97F4A7C15L + round.toLong * 0xC2B2AE3D27D4EB4FL)
+    (h >>> 11) * (1.0 / (1L << 53))
+  }
+
+  private def dist2(v: Array[Float], cents: Array[Array[Float]]): Double = {
+    var best = Double.MaxValue
+    var i = 0
+    while (i < cents.length) {
+      val d = 1.0 - cos(v, cents(i)); if (d < best) best = d
+      i += 1
+    }
+    best
+  }
+
+  /** k-means|| oversampled init (Bahmani et al., VLDB 2012 — public paper),
+    * fully deterministic: each round every vector joins the candidate set
+    * with probability min(1, l * d²/φ), where the coin is a hash of
+    * (id, round) — reproducible across runs AND cluster sizes, no RNG state.
+    * Each round costs two corpus scans (cost φ, then sample) and no shuffle;
+    * candidates (≈ rounds × l vectors) are weighted by attraction counts and
+    * reduced to `c` centroids with a LOCAL weighted Lloyd on the driver.
+    * Distance is 1 − cosine, matching the IVF assignment metric.
+    */
+  def kmeansParallelInit(
+      vectors: DataFrame,
+      c: Int,
+      rounds: Int = 3,
+      oversampleFactor: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Array[(Int, Array[Float])] = {
+    val spark = vectors.sparkSession
+    val l = math.max(1, oversampleFactor * c)
+    val typed = vectors.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])](Encoders.tuple(Encoders.scalaLong,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]()))
+      .rdd
+    var cands: Array[Array[Float]] = coarseCentroids(vectors, 1, idCol, vecCol).map(_._2)
+    var r = 1
+    while (r <= rounds) {
+      val bc = spark.sparkContext.broadcast(cands)
+      val phi = typed.map { case (_, v) => dist2(v, bc.value) }.sum()
+      if (phi <= 0) { bc.unpersist(); r = rounds + 1 }
+      else {
+        val round = r
+        val picked = typed.filter { case (id, v) =>
+          hash01(id, round) < l * dist2(v, bc.value) / phi
+        }.map(_._2).collect()
+        bc.unpersist()
+        cands = cands ++ picked
+        r += 1
+      }
+    }
+    // attraction weights: how many corpus vectors are nearest to each candidate
+    val bc = spark.sparkContext.broadcast(cands)
+    val weights = typed.mapPartitions { rows =>
+      val cs = bc.value
+      val n = new Array[Long](cs.length)
+      rows.foreach { case (_, v) =>
+        var best = 0; var bestD = Double.MaxValue
+        var i = 0
+        while (i < cs.length) {
+          val d = 1.0 - cos(v, cs(i)); if (d < bestD) { bestD = d; best = i }
+          i += 1
+        }
+        n(best) += 1
+      }
+      Iterator.single(n)
+    }.treeReduce { (a, b) => var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a }
+    bc.unpersist()
+    val reduced = weightedLloydLocal(cands, weights, c)
+    // tiny corpora can yield < c candidates: top up from the hash sample
+    val topped =
+      if (reduced.length >= c) reduced
+      else reduced ++ coarseCentroids(vectors, c, idCol, vecCol)
+        .map(_._2).filterNot(v => reduced.exists(_.sameElements(v)))
+        .take(c - reduced.length)
+    topped.take(c).zipWithIndex.map { case (v, i) => (i, v) }
+  }
+
+  /** Local deterministic weighted Lloyd over the (small) candidate set:
+    * init = top-c candidates by weight, 20 refinement passes, 1−cos metric.
+    */
+  private def weightedLloydLocal(
+      cands: Array[Array[Float]], w: Array[Long], c: Int, iters: Int = 20): Array[Array[Float]] = {
+    if (cands.length <= c) return cands
+    val order = cands.indices.sortBy(i => (-w(i), i))
+    var cents = order.take(c).map(cands(_)).toArray
+    val dim = cands(0).length
+    var it = 0
+    while (it < iters) {
+      val sums = Array.ofDim[Double](c, dim)
+      val n = new Array[Double](c)
+      var i = 0
+      while (i < cands.length) {
+        var best = 0; var bestD = Double.MaxValue
+        var j = 0
+        while (j < c) {
+          val d = 1.0 - cos(cands(i), cents(j)); if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        val wt = math.max(1L, w(i)).toDouble
+        var d = 0
+        while (d < dim) { sums(best)(d) += cands(i)(d) * wt; d += 1 }
+        n(best) += wt
+        i += 1
+      }
+      cents = Array.tabulate(c) { j =>
+        if (n(j) == 0) cents(j)
+        else Array.tabulate(dim)(d => (sums(j)(d) / n(j)).toFloat)
+      }
+      it += 1
+    }
+    cents
+  }
+
   /** Centroids after `iters` Lloyd passes from the deterministic init. Each
     * pass is one map-side assignment + per-partition partial sums combined on
     * the driver (c x dim doubles — constant-size, broadcast-scale), so a pass
     * costs one corpus scan and no shuffle. Empty clusters keep their previous
-    * centroid.
+    * centroid. `initRounds > 0` switches the init from the hash sample to
+    * [[kmeansParallelInit]] with that many oversampling rounds.
     */
   def trainCentroids(
       vectors: DataFrame,
       c: Int,
       iters: Int = 2,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): Array[(Int, Array[Float])] = {
+      vecCol: String = "embedding",
+      initRounds: Int = 0): Array[(Int, Array[Float])] = {
     val spark = vectors.sparkSession
-    var cents = coarseCentroids(vectors, c, idCol, vecCol)
+    var cents =
+      if (initRounds > 0) kmeansParallelInit(vectors, c, initRounds, idCol = idCol, vecCol = vecCol)
+      else coarseCentroids(vectors, c, idCol, vecCol)
     if (iters <= 0 || cents.isEmpty) return cents
     val dim = cents(0)._2.length
     val typed = vectors.select(col(idCol).cast("long"), col(vecCol))
@@ -161,13 +281,14 @@ object VectorSearch {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       queryIdCol: String = "query_id",
-      queryVecCol: String = "embedding"): Seq[(Int, Double)] = {
+      queryVecCol: String = "embedding",
+      initRounds: Int = 0): Seq[(Int, Double)] = {
     val truth = bruteTopK(vectors, queries, k, idCol, vecCol, queryIdCol, queryVecCol)
       .select(col("query_id"), col("neighbor_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     nProbes.map { np =>
       val got = ivfTopK(vectors, queries, k, numCentroids, np, trainIters,
-        idCol, vecCol, queryIdCol, queryVecCol)
+        idCol, vecCol, queryIdCol, queryVecCol, initRounds)
         .select(col("query_id"), col("neighbor_id"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       np -> (if (truth.isEmpty) 1.0 else truth.count(got.contains).toDouble / truth.size)
@@ -188,9 +309,10 @@ object VectorSearch {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       queryIdCol: String = "query_id",
-      queryVecCol: String = "embedding"): DataFrame = {
+      queryVecCol: String = "embedding",
+      initRounds: Int = 0): DataFrame = {
     val spark = vectors.sparkSession
-    val cents = trainCentroids(vectors, numCentroids, trainIters, idCol, vecCol)
+    val cents = trainCentroids(vectors, numCentroids, trainIters, idCol, vecCol, initRounds)
     val bc = spark.sparkContext.broadcast(cents)
 
     // typed tuple encoders on BOTH sides: Row(..., v.toSeq) boxes every float

@@ -194,6 +194,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("overflows"), e.getMessage)
   }
 
+  test("kmeans|| init matches or beats the hash-sample init at equal Lloyd budget") {
+    val dim = 32
+    val centers = vps.text.Hyperplanes.planes(16, 1, dim)
+    val clustered = (0 until 1000).map { i =>
+      val c = centers(i % 16)
+      val v = Array.tabulate(dim) { d =>
+        val h = TextOps.mix64(i.toLong * 1315423911L + d)
+        (c(d) + 0.15 * (((h >>> 11) * (1.0 / (1L << 53))) * 2 - 1)).toFloat
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val queries = clustered.where($"vec_id" < 16)
+      .select($"vec_id".as("query_id"), $"embedding")
+    // one Lloyd pass each: the init quality is what differs
+    val hashInit = VectorSearch.recallAtK(clustered, queries, k = 10,
+      numCentroids = 16, nProbes = Seq(1, 2), trainIters = 1).toMap
+    val kmpp = VectorSearch.recallAtK(clustered, queries, k = 10,
+      numCentroids = 16, nProbes = Seq(1, 2), trainIters = 1, initRounds = 3).toMap
+    info(s"hash-init recall@10: $hashInit ; kmeans|| recall@10: $kmpp")
+    Seq(1, 2).foreach { np =>
+      assert(kmpp(np) >= hashInit(np) - 0.02,
+        s"kmeans|| must not regress at nProbe=$np: ${kmpp(np)} vs ${hashInit(np)}")
+    }
+    assert(kmpp(2) >= 0.9, s"kmeans||+1 Lloyd recall@nProbe=2 was ${kmpp(2)}")
+    // determinism: same inputs -> identical centroids
+    val a = VectorSearch.kmeansParallelInit(clustered, 16, rounds = 3)
+    val b = VectorSearch.kmeansParallelInit(clustered, 16, rounds = 3)
+    assert(a.map(_._2.toSeq) === b.map(_._2.toSeq))
+  }
+
   test("text analysis: lang_id, token_count, fingerprint, quality") {
     assert(TextOps.langId("the cat sat on the mat and it was happy") === "en")
     assert(TextOps.langId("el perro y la casa de los niños en madrid") === "es")
