@@ -14,6 +14,9 @@ package vps.geom
   * - EPSG:27700 (OSGB36 / British National Grid: generalized Krüger TM on
   *   Airy 1830 + 7-parameter Helmert datum shift, OS public constants, ~5 m
   *   country-wide — OSTN correction grids are a native-proj feature)
+  * - EPSG:2056 (CH1903+ / LV95: Swiss oblique conformal cylindrical exact
+  *   closed forms on Bessel 1841 + CH1903 translation, Swisstopo public
+  *   constants, ~1-2 m — the CHENyx06 grid is a native-proj feature)
   *
   * All transforms route through 4326, so any supported pair composes.
   */
@@ -232,6 +235,76 @@ object Proj {
   private[geom] val Wgs84ToOsgb36 = Helmert(-446.448, 125.157, -542.060,
     -0.1502, -0.2470, -0.8421, 20.4894)
 
+  /** Swiss oblique conformal cylindrical projection (Swisstopo "Formulas and
+    * constants for the calculation of the Swiss conformal cylindrical
+    * projection" — public): ellipsoid (Bessel 1841) -> conformal sphere ->
+    * rotation to the Bern pseudo-equator -> Mercator. Exact closed forms, not
+    * the series approximation. Geodetic input/output in the CH1903 datum.
+    */
+  object SwissGrid {
+    private val a = 6377397.155 // Bessel 1841
+    private val invF = 299.1528128
+    private val f = 1.0 / invF
+    private val e2 = f * (2.0 - f)
+    private val e = math.sqrt(e2)
+    private val phi0 = math.toRadians(46.0 + 57.0 / 60 + 8.66 / 3600) // Bern
+    private val lam0 = math.toRadians(7.0 + 26.0 / 60 + 22.50 / 3600)
+    private val sp0 = math.sin(phi0)
+    /** radius of the conformal sphere at Bern */
+    private val bigR = a * math.sqrt(1.0 - e2) / (1.0 - e2 * sp0 * sp0)
+    private val alpha = math.sqrt(1.0 + (e2 / (1.0 - e2)) * math.pow(math.cos(phi0), 4))
+    private val b0 = math.asin(sp0 / alpha)
+    private val bigK = math.log(math.tan(math.Pi / 4 + b0 / 2)) -
+      alpha * math.log(math.tan(math.Pi / 4 + phi0 / 2)) +
+      alpha * e / 2 * math.log((1 + e * sp0) / (1 - e * sp0))
+    private val FE = 2600000.0 // LV95 false easting/northing
+    private val FN = 1200000.0
+
+    /** CH1903 geodetic (degrees) -> LV95 (E, N). */
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg); val lam = math.toRadians(lonDeg)
+      val sp = math.sin(phi)
+      // conformal latitude on the sphere
+      val b = 2.0 * (math.atan(math.exp(
+        alpha * math.log(math.tan(math.Pi / 4 + phi / 2)) -
+          alpha * e / 2 * math.log((1 + e * sp) / (1 - e * sp)) + bigK)) - math.Pi / 4)
+      val l = alpha * (lam - lam0)
+      // rotate to the pseudo-equator through Bern
+      val lBar = math.atan2(math.sin(l), math.sin(b0) * math.tan(b) + math.cos(b0) * math.cos(l))
+      val bBar = math.asin(math.cos(b0) * math.sin(b) - math.sin(b0) * math.cos(b) * math.cos(l))
+      (FE + bigR * lBar, FN + bigR * math.log(math.tan(math.Pi / 4 + bBar / 2)))
+    }
+
+    /** LV95 (E, N) -> CH1903 geodetic (degrees). */
+    def inverse(eN: Double, nN: Double): (Double, Double) = {
+      val lBar = (eN - FE) / bigR
+      val bBar = 2.0 * (math.atan(math.exp((nN - FN) / bigR)) - math.Pi / 4)
+      val b = math.asin(math.cos(b0) * math.sin(bBar) + math.sin(b0) * math.cos(bBar) * math.cos(lBar))
+      val l = math.atan2(math.sin(lBar),
+        math.cos(b0) * math.cos(lBar) - math.sin(b0) * math.tan(bBar))
+      val lam = lam0 + l / alpha
+      // invert the conformal-latitude map by fixed point (quadratic convergence)
+      var phi = b
+      var i = 0
+      while (i < 12) {
+        val sp = math.sin(phi)
+        phi = 2.0 * (math.atan(math.exp(
+          (math.log(math.tan(math.Pi / 4 + b / 2)) - bigK) / alpha +
+            e / 2 * math.log((1 + e * sp) / (1 - e * sp)))) - math.Pi / 4)
+        i += 1
+      }
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
+  /** CH1903/Bessel -> WGS84 3-parameter shift (Swisstopo public constants,
+    * ~1-2 m; the centimetre path is swisstopo's CHENyx06 grid, a native-proj
+    * feature).
+    */
+  private[geom] val Ch1903ToWgs84 = Helmert(674.374, 15.056, 405.346, 0, 0, 0, 0)
+  private[geom] val BesselA = 6377397.155
+  private[geom] val BesselInvF = 299.1528128
+
   sealed trait Crs
   case object LonLat extends Crs
   case object WebMercator extends Crs
@@ -240,6 +313,10 @@ object Proj {
     * datum shift to/from the WGS84 hub).
     */
   case object BritishNationalGrid extends Crs
+  /** EPSG:2056 — CH1903+ / LV95 (Swiss oblique conformal cylindrical on
+    * Bessel 1841 + CH1903 translation to/from the WGS84 hub).
+    */
+  case object SwissLv95 extends Crs
 
   /** Lambert conformal conic, 2SP (ellipsoidal closed forms — Snyder 1987
     * §15 / EPSG guidance note 7-2). Angles in degrees; `a`/`invF` default to
@@ -327,13 +404,14 @@ object Proj {
     case "epsg:3034" | "3034" => LccEurope
     case "epsg:3978" | "3978" => LccCanada
     case "epsg:27700" | "27700" => BritishNationalGrid
+    case "epsg:2056" | "2056" => SwissLv95
     case UtmRe(series, zone) =>
       val z = zone.toInt
       require(z >= 1 && z <= 60, s"UTM zone $z out of [1,60]")
       Utm(z, south = series == "327")
     case other => throw new IllegalArgumentException(
       s"unsupported CRS '$other' (supported: EPSG:4326, EPSG:3857, " +
-        "EPSG:326xx/327xx, EPSG:2154/3034/3978, EPSG:27700)")
+        "EPSG:326xx/327xx, EPSG:2154/3034/3978, EPSG:27700, EPSG:2056)")
   }
 
   /** Point transform `from` -> `to`, routed through lon/lat. */
@@ -348,6 +426,11 @@ object Proj {
         val (cx, cy, cz) = geodeticToCart(lonO, latO, AiryA, AiryInvF)
         val (wx, wy, wz) = Wgs84ToOsgb36.inverse(cx, cy, cz)
         cartToGeodetic(wx, wy, wz, A, 1.0 / F)
+      case SwissLv95 =>
+        val (lonC, latC) = SwissGrid.inverse(x, y) // CH1903 geodetic
+        val (cx, cy, cz) = geodeticToCart(lonC, latC, BesselA, BesselInvF)
+        val (wx, wy, wz) = Ch1903ToWgs84(cx, cy, cz)
+        cartToGeodetic(wx, wy, wz, A, 1.0 / F)
     }
     to match {
       case LonLat => (lon, lat)
@@ -359,6 +442,11 @@ object Proj {
         val (ox, oy, oz) = Wgs84ToOsgb36(cx, cy, cz)
         val (lonO, latO) = cartToGeodetic(ox, oy, oz, AiryA, AiryInvF)
         OsgbTm.forward(lonO, latO)
+      case SwissLv95 =>
+        val (cx, cy, cz) = geodeticToCart(lon, lat, A, 1.0 / F)
+        val (sx, sy, sz) = Ch1903ToWgs84.inverse(cx, cy, cz)
+        val (lonC, latC) = cartToGeodetic(sx, sy, sz, BesselA, BesselInvF)
+        SwissGrid.forward(lonC, latC)
     }
   }
 }

@@ -129,6 +129,43 @@ class ProjSpec extends AnyFunSuite {
     assert(Proj.parse("EPSG:27700") === Proj.BritishNationalGrid)
   }
 
+  test("Swiss LV95: Bern origin, conformality isotropy, WGS84 anchor + round trip") {
+    // projection origin (Bern, CH1903 datum) maps exactly to (2600000, 1200000)
+    val (e0, n0) = Proj.SwissGrid.forward(
+      7.0 + 26.0 / 60 + 22.50 / 3600, 46.0 + 57.0 / 60 + 8.66 / 3600)
+    assert(math.abs(e0 - 2600000.0) < 1e-6 && math.abs(n0 - 1200000.0) < 1e-6)
+    // conformal => isotropic scale: finite-difference E-W and N-S scale agree
+    val aB = 6377397.155; val fB = 1.0 / 299.1528128; val e2B = fB * (2 - fB)
+    Seq((7.0, 46.5), (9.5, 47.2), (6.2, 46.2)).foreach { case (lon, lat) =>
+      val phi = math.toRadians(lat)
+      val d = 1e-5
+      val (x0, y0) = Proj.SwissGrid.forward(lon, lat)
+      val (x1, y1) = Proj.SwissGrid.forward(lon + d, lat)
+      val (x2, y2) = Proj.SwissGrid.forward(lon, lat + d)
+      val nu = aB / math.sqrt(1 - e2B * math.sin(phi) * math.sin(phi))
+      val m = aB * (1 - e2B) / math.pow(1 - e2B * math.sin(phi) * math.sin(phi), 1.5)
+      val kEw = math.hypot(x1 - x0, y1 - y0) / (math.toRadians(d) * nu * math.cos(phi))
+      val kNs = math.hypot(x2 - x0, y2 - y0) / (math.toRadians(d) * m)
+      assert(math.abs(kEw / kNs - 1.0) < 1e-6, s"anisotropy at $lon,$lat: $kEw vs $kNs")
+      // conformal-sphere projection: scale ~1 near the origin parallel
+      assert(math.abs(kEw - 1.0) < 2e-3, s"scale at $lon,$lat: $kEw")
+    }
+    // WGS84 anchor: the published WGS84 position of the Bern origin
+    // (7d26'19.08"E 46d57'03.90"N — swisstopo) lands on (2600000, 1200000)
+    // within the 3-parameter datum-shift accuracy
+    val (be, bn) = Proj.transform(7.0 + 26.0 / 60 + 19.08 / 3600,
+      46.0 + 57.0 / 60 + 3.90 / 3600, Proj.LonLat, Proj.SwissLv95)
+    assert(math.hypot(be - 2600000.0, bn - 1200000.0) < 10.0,
+      s"Bern WGS84 anchor off by ${math.hypot(be - 2600000.0, bn - 1200000.0)} m")
+    // full-chain round trips across Switzerland
+    for (lon <- Seq(6.1, 7.44, 8.55, 9.8); lat <- Seq(45.9, 46.5, 47.1, 47.7)) {
+      val (ge, gn) = Proj.transform(lon, lat, Proj.LonLat, Proj.SwissLv95)
+      val (lon2, lat2) = Proj.transform(ge, gn, Proj.SwissLv95, Proj.LonLat)
+      assert(math.abs(lon2 - lon) < 1e-7 && math.abs(lat2 - lat) < 1e-7, s"round trip $lon,$lat")
+    }
+    assert(Proj.parse("EPSG:2056") === Proj.SwissLv95)
+  }
+
   test("CRS parse + transform composition 3857 <-> UTM routes through 4326") {
     assert(Proj.parse("EPSG:4326") === Proj.LonLat)
     assert(Proj.parse("epsg:3857") === Proj.WebMercator)
@@ -137,7 +174,7 @@ class ProjSpec extends AnyFunSuite {
     assert(Proj.parse("EPSG:2154") === Proj.Lambert93)
     assert(Proj.parse("3034") === Proj.LccEurope)
     assert(Proj.parse("epsg:3978") === Proj.LccCanada)
-    intercept[IllegalArgumentException](Proj.parse("EPSG:2056")) // Swiss grid: still unsupported
+    intercept[IllegalArgumentException](Proj.parse("EPSG:5514")) // Krovak: still unsupported
     val (mx, my) = Proj.transform(15.5, 47.1, Proj.LonLat, Proj.WebMercator)
     val (ue, un) = Proj.transform(mx, my, Proj.WebMercator, Proj.Utm(33, south = false))
     val (lon, lat) = Proj.transform(ue, un, Proj.Utm(33, south = false), Proj.LonLat)
