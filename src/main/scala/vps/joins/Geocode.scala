@@ -4,10 +4,7 @@ import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
 import org.locationtech.jts.geom.Geometry
-import org.locationtech.jts.geom.prep.{PreparedGeometry, PreparedGeometryFactory}
-import org.locationtech.jts.index.strtree.STRtree
-
-import vps.geom.Wkb
+import org.locationtech.jts.geom.prep.PreparedGeometry
 
 /** Reverse-geocode helper mirroring the reference's `util/Geocode.scala:88-116`
   * surface: append the containing region names to point rows and aggregate the
@@ -35,6 +32,8 @@ object Geocode {
     val spark = df.sparkSession
     import vps.sql.functions.st_asWKB
     val regionRows: Array[(String, Array[Byte])] = regions
+      // null names are skipped, matching the old collect_set semantics
+      .where(col(nameCol).isNotNull)
       .select(col(nameCol).cast("string"), st_asWKB(col(geomCol)))
       .as[(String, Array[Byte])](Encoders.tuple(Encoders.STRING, Encoders.BINARY))
       .collect()
@@ -44,12 +43,7 @@ object Geocode {
     val outSchema = StructType(df.schema.fields :+
       StructField("regions", ArrayType(StringType, containsNull = false), nullable = false))
     df.mapPartitions { rows =>
-      val index = new STRtree()
-      val pf = new PreparedGeometryFactory
-      bc.value.foreach { case (name, wkb) =>
-        val g = Wkb.read(wkb)
-        index.insert(g.getEnvelopeInternal, (name, pf.create(g)))
-      }
+      val index = SpatialJoins.buildIndex(bc.value)
       rows.map { row =>
         val g = row.getAs[Geometry](geomIdx)
         val names =

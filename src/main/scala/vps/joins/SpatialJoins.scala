@@ -24,6 +24,21 @@ import vps.sql.functions._
   */
 object SpatialJoins {
 
+  /** Broadcast-side STRtree of PREPARED geometries with an arbitrary payload,
+    * built once per task from collected (payload, wkb) entries — the shared
+    * core of every broadcast spatial probe (pip variants, reverse geocode).
+    * Query hits deserialize to `(T, PreparedGeometry)`.
+    */
+  private[joins] def buildIndex[T](entries: Array[(T, Array[Byte])]): STRtree = {
+    val index = new STRtree()
+    val pf = new PreparedGeometryFactory
+    entries.foreach { case (payload, wkb) =>
+      val g = Wkb.read(wkb)
+      index.insert(g.getEnvelopeInternal, (payload, pf.create(g)))
+    }
+    index
+  }
+
   /** points ⋈ polygons on containment; polygon side broadcast.
     *
     * @param points df with a geometry column `pointCol`
@@ -48,17 +63,7 @@ object SpatialJoins {
     val pointIdx = points.schema.fieldIndex(pointCol)
 
     points.mapPartitions { rows =>
-      // build the index once per task from the broadcast
-      val index = new STRtree()
-      val prepared = new java.util.ArrayList[(Long, PreparedGeometry)]()
-      val pf = new PreparedGeometryFactory
-      bc.value.foreach { case (id, wkb) =>
-        val g = Wkb.read(wkb)
-        val pg = pf.create(g)
-        val slot = (id, pg)
-        prepared.add(slot)
-        index.insert(g.getEnvelopeInternal, slot)
-      }
+      val index = buildIndex(bc.value) // once per task from the broadcast
       rows.flatMap { row =>
         // UDT columns arrive deserialized (external Row) as JTS geometries
         val pt = row.getAs[Geometry](pointIdx)
@@ -104,13 +109,7 @@ object SpatialJoins {
       .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
 
     val out = typed.mapPartitions { rows =>
-      val index = new STRtree()
-      val pf = new PreparedGeometryFactory
-      bc.value.foreach { case (id, wkb) =>
-        val g = Wkb.read(wkb)
-        val slot = (id, pf.create(g))
-        index.insert(g.getEnvelopeInternal, slot)
-      }
+      val index = buildIndex(bc.value)
       rows.flatMap { case (pid, wkb) =>
         if (wkb == null) Iterator.empty
         else {

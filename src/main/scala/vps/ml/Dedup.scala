@@ -26,11 +26,29 @@ import vps.text.functions._
   * map-side and reduce-side — so a boilerplate mega-duplicate class (10^8
   * byte-identical pages all landing in ONE (band, bucket)) can neither blow
   * an aggregation buffer nor explode into C(n,2) pairs. Capped-out buckets
-  * are DROPPED and counted on the optional `droppedBuckets` channel; such a
-  * class is exact-duplicate territory — compose [[exactDuplicates]] first
-  * (constant state per group) and near-dup the survivors.
+  * are DROPPED and ALWAYS counted: on the caller's `droppedBuckets` channel
+  * when supplied, otherwise on an auto-registered named accumulator (visible
+  * in the Spark UI/event log), so saturation is never silent. A mega
+  * duplicate class is exact-duplicate territory — compose
+  * [[exactDuplicates]] first (constant state per group) and near-dup the
+  * survivors.
+  *
+  * Bucket-space saturation: minhash buckets live in a 2^64 space and
+  * embedding-LSH in 2^rowsPerBand per band, so NATURAL bucket occupancy
+  * stays tiny as the corpus grows; simhash's 16-bit bands saturate first —
+  * beyond ~maxBucket x 2^16 documents, natural (non-duplicate) buckets start
+  * hitting the cap and [[minhashCandidates]] / [[embeddingNearDuplicates]]
+  * are the scale path (the 4 x 16-bit banding is what makes the hamming<=3
+  * guarantee, so its space cannot simply be widened).
   */
 object Dedup {
+
+  /** The caller's channel, or an auto-registered named accumulator so drops
+    * are counted (UI-visible) even when no channel is supplied.
+    */
+  private def dropChannel(df: DataFrame, name: String,
+      supplied: Option[vps.geom.ErrorChannel]): Option[vps.geom.ErrorChannel] =
+    supplied.orElse(Some(vps.geom.GeomErrors.channel(df.sparkSession, s"dedup.dropped.$name")))
 
   /** Groups of byte-identical texts: (digest, keep_id = min id, n).
     * Constant-size aggregation state per group — a pathological 10^8-duplicate
@@ -87,7 +105,8 @@ object Dedup {
     val pairs = banded
       .groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_capped(col("id"), maxBucket)).as("ids"))
-      .where(not_dropped(col("ids"), droppedBuckets) && size(col("ids")) > 1)
+      .where(not_dropped(col("ids"), dropChannel(df, "minhash", droppedBuckets)) &&
+        size(col("ids")) > 1)
       .select(explode(array_pairs(col("ids"))).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
@@ -126,7 +145,8 @@ object Dedup {
     banded
       .groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_capped(col("e"), maxBucket)).as("es"))
-      .where(not_dropped(col("es"), droppedBuckets) && size(col("es")) > 1)
+      .where(not_dropped(col("es"), dropChannel(df, "simhash", droppedBuckets)) &&
+        size(col("es")) > 1)
       .select(explode(array_pairs(col("es"))).as("p"))
       .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
         bit_count(col("p.a.sig").bitwiseXOR(col("p.b.sig"))).as("hamming"))
@@ -165,7 +185,8 @@ object Dedup {
     val pairs = banded
       .groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_capped(col("id"), maxBucket)).as("ids"))
-      .where(not_dropped(col("ids"), droppedBuckets) && size(col("ids")) > 1)
+      .where(not_dropped(col("ids"), dropChannel(df, "embedding", droppedBuckets)) &&
+        size(col("ids")) > 1)
       .select(explode(array_pairs(col("ids"))).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()

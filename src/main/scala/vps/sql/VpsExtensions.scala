@@ -54,9 +54,14 @@ class VpsExtensions extends (SparkSessionExtensions => Unit) {
     inject("lang_id", e => LangId(e(0)))
     inject("cosine_sim", e => CosineSim(e(0), e(1)))
     inject("array_pairs", e => ArrayPairs(e(0)))
-    // bounded collect_list (cap must be a foldable int literal)
-    inject("collect_capped", e => CollectCapped(e(0),
-      e(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Int])
-      .toAggregateExpression())
+    // bounded collect_list (cap must be a foldable integer literal)
+    inject("collect_capped", e => {
+      val cap = e(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty) match {
+        case n: Number => n.intValue()
+        case other => throw new IllegalArgumentException(
+          s"collect_capped: cap must be a foldable integer literal, got $other")
+      }
+      CollectCapped(e(0), cap).toAggregateExpression()
+    })
   }
 }

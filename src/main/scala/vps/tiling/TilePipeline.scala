@@ -304,7 +304,8 @@ object TilePipeline {
     * zoom. The only exchange per zoom is packAndEncode's tile aggregation.
     *
     * Output tiles are byte-identical to [[pyramid]] — see [[tileZoomKeyed]].
-    * `reduce` receives the keys-array frame (id, layer, geom, keys).
+    * `reduce` receives ALL input columns plus (id cast long, layer, keys) —
+    * "layer"/"keys" are reserved column names under this fold.
     *
     * Materializes each zoom eagerly via `sink` (needed to unpersist frames
     * deterministically); returns per-zoom (tiles, features) counts.
@@ -322,9 +323,13 @@ object TilePipeline {
     val layerExpr = opts.layerColumn
       .map(c => col(c).cast("string"))
       .getOrElse(lit(null).cast("string"))
+    // keep EVERY input column (select/reduce hooks may reference them — the
+    // rekey switch must not change the hook contract); "layer" and "keys" are
+    // reserved names the fold overwrites
     var frame = input
-      .select(col("id").cast("long").as("id"), layerExpr.as("layer"), col("geom"),
-        tile_keys(col("geom"), maxZoom).as("keys"))
+      .withColumn("id", col("id").cast("long"))
+      .withColumn("layer", layerExpr)
+      .withColumn("keys", tile_keys(col("geom"), maxZoom))
     val out = Seq.newBuilder[(Int, Long, Long)]
     // NONE = recompute frames from lineage (no materialization): right when
     // the input is already cached / cheap to rescan — the persist of a wide

@@ -44,7 +44,7 @@ object AltTilesProbe {
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
     }
 
-    def leg(cpus: Int, warm: Boolean): Double = {
+    def leg(cpus: Int): Double = {
       val s = session(cpus)
       vps.geom.Geo.registerUDTs()
       val points = s.read.parquet(corpus).persist()
@@ -56,7 +56,6 @@ object AltTilesProbe {
           .toDF().agg(count(lit(1))).head()
         (System.nanoTime() - t0) / 1e9
       }
-      if (warm) run()
       val t = run()
       s.stop()
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
@@ -64,10 +63,10 @@ object AltTilesProbe {
     }
 
     // JIT warm-up round (not scored)
-    leg(4, warm = false); leg(16, warm = false)
+    leg(4); leg(16)
     val effs = (1 to rounds).map { r =>
-      val lo = leg(4, warm = false)
-      val hi = leg(16, warm = false)
+      val lo = leg(4)
+      val hi = leg(16)
       val eff = lo / hi / 4.0
       println(f"round $r: local[4]=$lo%.1f s local[16]=$hi%.1f s  efficiency=$eff%.2f")
       (lo, hi, eff)

@@ -159,6 +159,15 @@ class TilePipelineSpec extends AnyFunSuite {
     assert(victim.exists())
   }
 
+  test("pyramidRekey keeps extra input columns visible to the reduce hook") {
+    val input = geoms.withColumn("importance", ($"id" % 4).cast("int"))
+    val stats = TilePipeline.pyramidRekey(input, 3, 4,
+      reduce = (df, z) => df.where(col("importance") >= (4 - z)))((_, _) => ())
+    val features = stats.map(s => s._1 -> s._3).toMap
+    assert(features(4) === geoms.count()) // importance >= 0: everything
+    assert(features(3) < features(4)) // importance >= 1: decimated
+  }
+
   test("VectorPipe facade: hooks drive the pyramid and sink") {
     val dir = java.nio.file.Files.createTempDirectory("vpipe").toString
     var finalized = Vector.empty[Int]
