@@ -160,12 +160,13 @@ class TilePipelineSpec extends AnyFunSuite {
   }
 
   test("pyramidRekey keeps extra input columns visible to the reduce hook") {
+    // geoms ids are doc_id*10 + offset (odd), so id % 4 is always odd {1, 3}
     val input = geoms.withColumn("importance", ($"id" % 4).cast("int"))
     val stats = TilePipeline.pyramidRekey(input, 3, 4,
-      reduce = (df, z) => df.where(col("importance") >= (4 - z)))((_, _) => ())
+      reduce = (df, z) => df.where(col("importance") >= (4 - z) * 2))((_, _) => ())
     val features = stats.map(s => s._1 -> s._3).toMap
     assert(features(4) === geoms.count()) // importance >= 0: everything
-    assert(features(3) < features(4)) // importance >= 1: decimated
+    assert(features(3) < features(4)) // importance >= 2: only the 3s survive
   }
 
   test("VectorPipe facade: hooks drive the pyramid and sink") {
