@@ -85,6 +85,24 @@ class TilePipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("pathological hot tile: 50k features on ONE tile key encode correctly under every strategy") {
+    val n = 50000
+    // a dense grid inside one z2 tile
+    val pts = spark.range(0, n).toDF("id")
+      .select($"id", st_point(
+        lit(10.0) + ($"id" % 250).cast("double") * 0.0001,
+        lit(10.0) + ($"id" / 250).cast("double") * 0.0001).as("geom"))
+    Seq(TilePipeline.PackStrategy.SinglePhase, TilePipeline.PackStrategy.SaltedSort)
+      .foreach { strat =>
+        val tiles = TilePipeline.tileZoom(pts, 2,
+          TilePipeline.Options(strategy = strat)).collect()
+        assert(tiles.length === 1, s"$strat: all features must land on one tile")
+        assert(tiles.head.features === n, s"$strat")
+        val decoded = Mvt.decode(tiles.head.mvt)
+        assert(decoded.layers.head.features.size === n, s"$strat decode")
+      }
+  }
+
   test("multi-layer tiles: features split into named layers by a string column") {
     val zoom = 4
     // id = doc_id*10 + span_offset (offset 1 or 3): id % 20 < 10 <=> doc_id even
