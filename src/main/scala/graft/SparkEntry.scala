@@ -382,6 +382,16 @@ object SparkEntry {
         .orderBy("user", "session_start")
     }),
 
+    // ---- raster zonal statistics (rasterize -> per-zone cell aggregation) ----
+    "q34_zonal" -> ((s, dir) => {
+      val pts = geoPoints(s, dir).select(col("geom"))
+      val tiles = vps.raster.Raster.rasterize(pts, zoom = 6, resolution = 16)
+      vps.raster.Raster.zonalStats(tiles,
+        boxPolys(s).select(col("poly_id").as("zone_id"), col("geom")))
+        .select(col("zone_id"), col("n_cells"), col("sum").cast("long").as("sum_w"))
+        .orderBy("zone_id")
+    }),
+
     // ---- reverse geocode (broadcast pip + per-row region names) ----
     "q30_geocode" -> ((s, dir) => {
       val pts = geoPoints(s, dir)
@@ -623,6 +633,41 @@ object SparkEntry {
           |  CAST(max(ts) + 600 AS BIGINT) AS session_end,
           |  CAST(count(*) AS BIGINT) AS n_comments
           |FROM sess GROUP BY user, sid ORDER BY user, session_start""".stripMargin,
+      "q34_zonal" ->
+        s"""WITH pts AS (SELECT lon, lat FROM ($geoSpansSql)),
+           |keyed AS (
+           |  SELECT lon, lat,
+           |    ${tileXSql("lon", 6)} AS tx, ${tileYSql("lat", 6)} AS ty
+           |  FROM pts),
+           |cells AS (
+           |  SELECT lon, lat, tx, ty,
+           |    (tx / 64.0) * 360.0 - 180.0 AS lon_min,
+           |    ((tx + 1) / 64.0) * 360.0 - 180.0 AS lon_max,
+           |    degrees(atan((exp(pi() * (1.0 - (2.0 * ty) / 64.0)) - exp(-(pi() * (1.0 - (2.0 * ty) / 64.0)))) / 2.0)) AS lat_top,
+           |    degrees(atan((exp(pi() * (1.0 - (2.0 * (ty + 1.0)) / 64.0)) - exp(-(pi() * (1.0 - (2.0 * (ty + 1.0)) / 64.0)))) / 2.0)) AS lat_bot
+           |  FROM keyed),
+           |binned AS (
+           |  SELECT tx, ty, lon_min, lat_top,
+           |    (lon_max - lon_min) / 16.0 AS dx,
+           |    (lat_top - lat_bot) / 16.0 AS dy,
+           |    LEAST(15, GREATEST(0, CAST(floor((lon - lon_min) / ((lon_max - lon_min) / 16.0)) AS INT))) AS ci,
+           |    LEAST(15, GREATEST(0, CAST(floor((lat_top - lat) / ((lat_top - lat_bot) / 16.0)) AS INT))) AS cj
+           |  FROM cells),
+           |counts AS (
+           |  SELECT tx, ty, ci, cj,
+           |    min(lon_min + (ci + 0.5) * dx) AS cx,
+           |    min(lat_top - (cj + 0.5) * dy) AS cy,
+           |    count(*) AS v
+           |  FROM binned GROUP BY tx, ty, ci, cj),
+           |zones AS (
+           |  SELECT i AS zone_id,
+           |    CAST((i * 97 % 340) - 170 AS DOUBLE) AS lon0,
+           |    CAST((i * 61 % 150) - 75 AS DOUBLE) AS lat0
+           |  FROM range(40) t(i))
+           |SELECT zone_id, CAST(count(*) AS BIGINT) AS n_cells, CAST(sum(v) AS BIGINT) AS sum_w
+           |FROM counts JOIN zones
+           |  ON cx >= lon0 AND cx <= lon0 + 15 AND cy >= lat0 AND cy <= lat0 + 12
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
       "q30_geocode" ->
         s"""WITH pts AS (SELECT id * 10 + span_offset AS pt_id, lon, lat FROM ($geoSpansSql)),
            | polys AS (

@@ -29,7 +29,7 @@ object SpatialJoins {
     * core of every broadcast spatial probe (pip variants, reverse geocode).
     * Query hits deserialize to `(T, PreparedGeometry)`.
     */
-  private[joins] def buildIndex[T](entries: Array[(T, Array[Byte])]): STRtree = {
+  private[vps] def buildIndex[T](entries: Array[(T, Array[Byte])]): STRtree = {
     val index = new STRtree()
     val pf = new PreparedGeometryFactory
     entries.foreach { case (payload, wkb) =>

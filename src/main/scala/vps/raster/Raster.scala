@@ -83,6 +83,87 @@ object Raster {
 
   private def clamp(v: Int, res: Int): Int = math.max(0, math.min(res - 1, v))
 
+  /** Zonal statistics: per-zone aggregates of raster cell values whose cell
+    * CENTER falls inside the zone polygon, over NONZERO cells (sparse raster
+    * semantics — tiles only exist where data does).
+    * Output: (zone_id, n_cells, sum, mean, min, max).
+    *
+    * Scale shape: the (small, broadcastable) zone side is collected once and
+    * indexed per task (STRtree + prepared geometries — the shared broadcast
+    * probe core); raster tiles stream MAP-SIDE, each emitting one partial
+    * stats row per touched zone per partition; the only exchange is the final
+    * constant-size per-zone merge.
+    */
+  def zonalStats(
+      tiles: Dataset[RasterTile],
+      zones: DataFrame,
+      zoneIdCol: String = "zone_id",
+      zoneGeomCol: String = "geom"): DataFrame = {
+    val spark = tiles.sparkSession
+    import org.apache.spark.sql.Encoders
+    import vps.sql.functions.st_asWKB
+    val zoneRows: Array[(Long, Array[Byte])] = zones
+      .select(col(zoneIdCol).cast("long"), st_asWKB(col(zoneGeomCol)))
+      .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .collect()
+    val bc = spark.sparkContext.broadcast(zoneRows)
+
+    implicit val partialEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.scalaDouble, Encoders.scalaDouble, Encoders.scalaDouble)
+    val partials = tiles.mapPartitions { ts =>
+      val index = vps.joins.SpatialJoins.buildIndex(bc.value)
+      // zone_id -> (n, sum, min, max)
+      val acc = scala.collection.mutable.HashMap.empty[Long, (Long, Double, Double, Double)]
+      ts.foreach { t =>
+        val env = TileMath.tileEnvelopeLatLng(t.zoom, t.x, t.y)
+        val rawHits = index.query(env)
+        if (!rawHits.isEmpty) {
+          val hits = new Array[(Long, org.locationtech.jts.geom.prep.PreparedGeometry)](rawHits.size)
+          var h = 0
+          while (h < hits.length) {
+            hits(h) = rawHits.get(h)
+              .asInstanceOf[(Long, org.locationtech.jts.geom.prep.PreparedGeometry)]
+            h += 1
+          }
+          val res = t.resolution
+          val dx = env.getWidth / res
+          val dy = env.getHeight / res
+          var cj = 0
+          while (cj < res) {
+            var ci = 0
+            while (ci < res) {
+              val v = t.cells(cj * res + ci)
+              if (v != 0f) {
+                val pt = Geo.factory.createPoint(new Coordinate(
+                  env.getMinX + (ci + 0.5) * dx, env.getMaxY - (cj + 0.5) * dy))
+                var k = 0
+                while (k < hits.length) {
+                  val (zid, pg) = hits(k)
+                  if (pg.intersects(pt)) {
+                    val (n, s, mn, mx) = acc.getOrElse(zid,
+                      (0L, 0.0, Double.MaxValue, Double.MinValue))
+                    acc(zid) = (n + 1, s + v, math.min(mn, v), math.max(mx, v))
+                  }
+                  k += 1
+                }
+              }
+              ci += 1
+            }
+            cj += 1
+          }
+        }
+      }
+      acc.iterator.map { case (zid, (n, s, mn, mx)) => (zid, n, s, mn, mx) }
+    }
+
+    partials.toDF("zone_id", "n", "s", "mn", "mx")
+      .groupBy("zone_id")
+      .agg(sum(col("n")).as("n_cells"), sum(col("s")).as("sum"),
+        min(col("mn")).as("min"), max(col("mx")).as("max"))
+      .withColumn("mean", col("sum") / col("n_cells"))
+      .select("zone_id", "n_cells", "sum", "mean", "min", "max")
+  }
+
   /** Vectorize: cells with value >= threshold become polygons (cell boxes
     * dissolved per tile). Output: (zoom, x, y, geom, n_cells).
     */

@@ -46,6 +46,54 @@ class RasterSpec extends AnyFunSuite {
     assert(tiles.map(_.cells.count(_ != 0)).max > 100)
   }
 
+  test("zonalStats: per-zone aggregates match direct cell math") {
+    // deterministic point cloud with weights, rasterized, then two box zones
+    val pts = spark.range(0, 4000).toDF("id")
+      .select($"id",
+        st_point(($"id" % 80).cast("double") - 20.0, ($"id" / 80).cast("double") - 15.0).as("geom"),
+        (($"id" % 7) + 1).cast("double").as("wt"))
+    val zoom = 3
+    val res = 64
+    val tiles = Raster.rasterize(pts, zoom, res, weightCol = Some("wt")).cache()
+    val zones = Seq((0L, "POLYGON ((-10 -10, 25 -10, 25 12, -10 12, -10 -10))"),
+      (1L, "POLYGON ((30 0, 70 0, 70 40, 30 40, 30 0))")) // zone 1 partly empty
+      .toDF("zone_id", "wkt").select($"zone_id", st_geomFromWKT($"wkt").as("geom"))
+    val got = Raster.zonalStats(tiles, zones)
+      .select($"zone_id", $"n_cells", $"sum", $"mean", $"min", $"max")
+      .as[(Long, Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+
+    // direct oracle: iterate every nonzero cell of every tile, test the center
+    val zoneBoxes = Map(0L -> (-10.0, -10.0, 25.0, 12.0), 1L -> (30.0, 0.0, 70.0, 40.0))
+    val expected = scala.collection.mutable.Map.empty[Long, (Long, Double, Double, Double)]
+    tiles.collect().foreach { t =>
+      val env = vps.geom.TileMath.tileEnvelopeLatLng(t.zoom, t.x, t.y)
+      val dx = env.getWidth / res; val dy = env.getHeight / res
+      for (cj <- 0 until res; ci <- 0 until res) {
+        val v = t.cells(cj * res + ci)
+        if (v != 0f) {
+          val cx = env.getMinX + (ci + 0.5) * dx
+          val cy = env.getMaxY - (cj + 0.5) * dy
+          zoneBoxes.foreach { case (zid, (x0, y0, x1, y1)) =>
+            if (cx >= x0 && cx <= x1 && cy >= y0 && cy <= y1) {
+              val (n, s, mn, mx) = expected.getOrElse(zid, (0L, 0.0, Double.MaxValue, Double.MinValue))
+              expected(zid) = (n + 1, s + v, math.min(mn, v), math.max(mx, v))
+            }
+          }
+        }
+      }
+    }
+    expected.foreach { case (zid, (n, s, mn, mx)) =>
+      val (_, gn, gs, gmean, gmn, gmx) = got(zid)
+      assert(gn === n, s"zone $zid n_cells")
+      assert(math.abs(gs - s) < 1e-6, s"zone $zid sum")
+      assert(math.abs(gmean - s / n) < 1e-9, s"zone $zid mean")
+      assert(gmn === mn && gmx === mx, s"zone $zid min/max")
+    }
+    assert(got.keySet === expected.keySet)
+    tiles.unpersist()
+  }
+
   test("vectorize(rasterize(box)) recovers the box within a pixel") {
     val box = Seq((1L, "POLYGON ((10 10, 30 10, 30 30, 10 30, 10 10))"))
       .toDF("id", "wkt").select($"id", st_geomFromWKT($"wkt").as("geom"))
