@@ -68,7 +68,9 @@ object VectorPipe {
       /** Counts clip timeouts/failures across the run (rows pass through,
         * never dropped).
         */
-      errors: Option[vps.geom.ErrorChannel] = None)
+      errors: Option[vps.geom.ErrorChannel] = None,
+      /** Exchange/pack strategy — see [[TilePipeline.PackStrategy]]. */
+      strategy: TilePipeline.PackStrategy = TilePipeline.PackStrategy.SinglePhase)
 
   /** Run the pyramid over (id, geom [, layer-column]) input; writes
     * `z/x/y.mvt` + lineage when `outputDir` is set, always calls the
@@ -91,7 +93,8 @@ object VectorPipe {
       simplify = pipeline.simplify,
       preserveTopology = pipeline.preserveTopology,
       clipTimeoutMs = pipeline.clipTimeoutMs,
-      errors = options.errors)
+      errors = options.errors,
+      strategy = options.strategy)
     if (options.rekeyPyramid) {
       var out = Vector.empty[(Int, Dataset[TileRow])]
       TilePipeline.pyramidRekey(input, options.minZoom, options.maxZoom, opts,
