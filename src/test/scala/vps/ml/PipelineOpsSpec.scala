@@ -174,6 +174,12 @@ class PipelineOpsSpec extends AnyFunSuite {
     val exact = Dedup.exactDuplicates(mega).select($"n").as[Long].head()
     assert(exact === 10000L)
 
+    // no channel supplied: the auto-registered accumulator path must still
+    // bound the bucket (no pair explosion, no exception)
+    val noChannel = Dedup.minhashCandidates(mega, minJaccard = 0.6, maxBucket = 4)
+      .select($"id_a").limit(1).collect()
+    assert(noChannel.isEmpty, "capped-out mega bucket must yield no pairs")
+
     // cap high enough -> nothing dropped, results identical to the capped run
     val channel2 = vps.geom.GeomErrors.channel(spark, "lsh-dropped-2")
     val uncapped = Dedup.minhashCandidates(base.union(near), minJaccard = 0.6,
