@@ -116,6 +116,14 @@ object Bench {
       vps.joins.SpatialJoins.knnCellJoin(points, geoQueries, k = 10, level = 6, ring = 2).count()
     }
 
+    // 5) raster zonal statistics: rasterize all points, aggregate per zone
+    val (zonalRows, zonalSec) = timedWarm {
+      val tiles = vps.raster.Raster.rasterize(points, zoom = 6, resolution = 16)
+      vps.raster.Raster.zonalStats(tiles,
+        polys.select(col("poly_id").as("zone_id"), col("geom"))).count()
+    }
+    val zonalPtsPerSec = nPoints / zonalSec
+
     // ---- driver contract: per-query wall times ----
     val runQueries = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "1") == "1"
     val results = (if (runQueries) SparkEntry.queries.toSeq.sortBy(_._1) else Seq.empty).map { case (name, fn) =>
@@ -133,7 +141,8 @@ object Bench {
         f""""pip_ids_rows_per_sec":$pipIdsRowsPerSec%.1f,"pip_ids_out_rows":$pipIdsRows,"pip_ids_sec":$pipIdsSec%.2f,""" +
         f""""pip_cell_rows_per_sec":$pipCellRowsPerSec%.1f,"pip_cell_out_rows":$pipCellRows,"pip_cell_sec":$pipCellSec%.2f,""" +
         f""""knn_vectors":$nVecs,"knn_vec_rows_per_sec":$knnRowsPerSec%.1f,"knn_sec":$knnSec%.2f,""" +
-        f""""knn_geo_out_rows":$knnGeoRows,"knn_geo_sec":$knnGeoSec%.2f}"""
+        f""""knn_geo_out_rows":$knnGeoRows,"knn_geo_sec":$knnGeoSec%.2f,""" +
+        f""""zonal_zones":$zonalRows,"zonal_pts_per_sec":$zonalPtsPerSec%.1f,"zonal_sec":$zonalSec%.2f}"""
 
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"replication":$replication,"headline":$headline}""")
