@@ -392,6 +392,31 @@ object SparkEntry {
         .orderBy("zone_id")
     }),
 
+    // ---- distributed connected components over planted transitive chains:
+    // pairs (id, id+1) within blocks of 16 form 16-long paths whose endpoints
+    // are never directly paired — grouping them proves transitive resolution;
+    // component = block minimum, closed-form checkable in SQL ----
+    "q35_components" -> ((s, dir) => {
+      val ids = docsT(s, dir).select(col("doc_id").cast("long").as("id"))
+      val pairs = ids.where(col("id") % 16 =!= 15)
+        .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+        .join(ids.select(col("id").as("id_b")), Seq("id_b")) // partner must exist
+      vps.ml.Components.connectedComponents(pairs)
+        .select(col("id"), col("component"))
+        .orderBy("id")
+    }),
+
+    // ---- near-dup GROUP membership (LSH pairs -> connected components):
+    // at minJaccard=0.995 the verified pairs are exactly the planted identical
+    // copies (see q27), so membership must equal the exact-dedup groups ----
+    "q36_neardup_members" -> ((s, dir) => {
+      val base = docsT(s, dir).select(col("doc_id").as("id"), col("text"))
+      val corpus = base.unionAll(base.select((col("id") + 100000L).as("id"), col("text")))
+      Dedup.nearDuplicateMembership(corpus, minJaccard = 0.995)
+        .select(col("id"), col("keep_id"))
+        .orderBy("id")
+    }),
+
     // ---- reverse geocode (broadcast pip + per-row region names) ----
     "q30_geocode" -> ((s, dir) => {
       val pts = geoPoints(s, dir)
@@ -668,6 +693,23 @@ object SparkEntry {
            |FROM counts JOIN zones
            |  ON cx >= lon0 AND cx <= lon0 + 15 AND cy >= lat0 AND cy <= lat0 + 12
            |GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q35_components" ->
+        """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+          |pairs AS (
+          |  SELECT a.id AS id_a, b.id AS id_b
+          |  FROM ids a JOIN ids b ON b.id = a.id + 1 AND a.id % 16 != 15)
+          |SELECT id,
+          |  (SELECT min(i2.id) FROM ids i2 WHERE i2.id // 16 = ids.id // 16) AS component
+          |FROM ids
+          |WHERE id IN (SELECT id_a FROM pairs) OR id IN (SELECT id_b FROM pairs)
+          |ORDER BY id""".stripMargin,
+      "q36_neardup_members" ->
+        """WITH corpus AS (
+          |  SELECT doc_id AS id, text FROM documents
+          |  UNION ALL SELECT doc_id + 100000, text FROM documents),
+          |g AS (SELECT text, CAST(min(id) AS BIGINT) AS keep_id FROM corpus
+          |      GROUP BY text HAVING count(*) > 1)
+          |SELECT c.id, g.keep_id FROM corpus c JOIN g USING (text) ORDER BY id""".stripMargin,
       "q30_geocode" ->
         s"""WITH pts AS (SELECT id * 10 + span_offset AS pt_id, lon, lat FROM ($geoSpansSql)),
            | polys AS (

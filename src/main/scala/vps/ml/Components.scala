@@ -1,0 +1,129 @@
+package vps.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over a pair/edge list — the group-resolution
+  * step a dedup pipeline runs after LSH candidate generation: verified
+  * near-duplicate PAIRS (A~B, B~C) become duplicate GROUPS ({A,B,C} with one
+  * deterministic keep id), exactly the relational membership shape
+  * [[Dedup.exactDuplicateMembership]] produces for byte-identical texts.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond", SoCC 2014) — the shuffle-bounded
+  * formulation that converges in O(log n) rounds on pathological long chains,
+  * where naive label propagation needs O(n) rounds (one hop per round).
+  * No driver-side union-find: every round is two reducing aggregations and two
+  * equi-joins over the (bigint, bigint) edge list, so per-round shuffle volume
+  * is O(|edges| x 16 bytes) regardless of component size or skew.
+  *
+  * Per-round plan (both stars have the same shape):
+  *   1. `groupBy(u).agg(min(v))` — a REDUCING aggregate (map-side partial
+  *      combine), so the root of a 10^8-node component costs one counter per
+  *      map partition, never a collected neighbor list;
+  *   2. edges equi-join the per-node min on `u` — the hot root key is exactly
+  *      the skewed-join case AQE's skew-split handles.
+  *
+  * Lineage is truncated every round (`localCheckpoint`) so the driver-side
+  * plan stays O(1) deep across iterations; on a multi-executor cluster with
+  * flaky nodes prefer a reliable `spark.sparkContext.setCheckpointDir` +
+  * `checkpoint()` — the loop structure is identical.
+  *
+  * Convergence: a round is a no-op exactly when the edge set (canonically
+  * oriented big->small, deduped) is unchanged; detected with one aggregate
+  * job per round — (count, xor of xxhash64(u,v)) — instead of a full
+  * `except` pass.
+  */
+object Components {
+
+  /** Connected components of the undirected graph given as a pair list.
+    * Output: `(id, component)` — one row per distinct node, `component` = the
+    * MINIMUM id in the node's component (a deterministic keep id). Self-pairs
+    * and null ids are ignored; isolated nodes never appear (no pairs => no
+    * duplicate group), matching `exactDuplicateMembership`'s "only duplicated
+    * documents" contract.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b",
+      maxRounds: Int = 50): DataFrame =
+    connectedComponentsWithStats(pairs, aCol, bCol, maxRounds)._1
+
+  /** [[connectedComponents]] plus the number of large+small-star rounds it
+    * took to converge (the O(log n) gate asserted by the long-chain spec).
+    */
+  def connectedComponentsWithStats(
+      pairs: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b",
+      maxRounds: Int = 50): (DataFrame, Int) = {
+    var edges = canonical(
+      pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+        .where(col("u").isNotNull && col("v").isNotNull))
+      .localCheckpoint(true)
+
+    var fp = fingerprint(edges)
+    var rounds = 0
+    var converged = fp._1 == 0L // empty input: already done
+    while (!converged && rounds < maxRounds) {
+      val prev = edges
+      edges = canonical(smallStar(largeStar(edges))).localCheckpoint(true)
+      rounds += 1
+      val nextFp = fingerprint(edges)
+      converged = nextFp == fp
+      fp = nextFp
+      prev.unpersist()
+    }
+    require(converged, s"connectedComponents did not converge in $maxRounds rounds " +
+      "(rounds grow ~log2 of the longest chain; raise maxRounds)")
+
+    // Converged state is a star forest: every edge is (node, root). Roots name
+    // their own component.
+    val members = edges.select(col("u").as("id"), col("v").as("component"))
+      .unionAll(edges.select(col("v").as("id"), col("v").as("component")))
+      .distinct()
+    (members, rounds)
+  }
+
+  /** Canonical edge form: big->small, no self-loops, deduped. */
+  private def canonical(edges: DataFrame): DataFrame =
+    edges.where(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+
+  /** large-star: for every node u, connect each strictly LARGER neighbor to
+    * m = min(N(u) u {u}). Works on the symmetrized neighbor view.
+    */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u").agg(min("v").as("mv"))
+      .select(col("u"), least(col("mv"), col("u")).as("m"))
+    sym.join(mins, "u")
+      .where(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+  }
+
+  /** small-star: for every node u over its SMALLER neighbors N(u) (canonical
+    * orientation already points big->small), connect each of N(u) u {u}
+    * except the minimum m to m.
+    */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val canon = canonical(edges)
+    val mins = canon.groupBy("u").agg(min("v").as("m"))
+    val neighbors = canon.join(mins, "u")
+      .where(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+    neighbors.unionAll(mins.select(col("u"), col("m").as("v")))
+  }
+
+  /** One-job set fingerprint of the canonical edge list: (count, xor of
+    * per-edge xxhash64). Order-insensitive, deterministic for a given set.
+    */
+  private def fingerprint(edges: DataFrame): (Long, Long) = {
+    val row = edges
+      .agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)))
+      .head()
+    (row.getLong(0), row.getLong(1))
+  }
+}

@@ -81,6 +81,13 @@ object Dedup {
     * (id, band, bucket) ONLY; (2) pair-dedupe on (id_a, id_b); (3) the text is
     * joined back once per side for the `ngram_jaccard` verify. Document bytes
     * never multiply by the band count.
+    *
+    * RECALL impact of `maxBucket`: a bucket holding more than `maxBucket` ids
+    * contributes NO pairs — even legitimately-hot non-mega-dup buckets — so
+    * every drop trades recall for boundedness. Drops are never silent (counted
+    * on `droppedBuckets` or the auto-registered `dedup.dropped.minhash`
+    * accumulator, UI-visible); a nonzero count means candidates were lost and
+    * the cap (or an upstream [[exactDuplicates]] pass) needs revisiting.
     */
   def minhashCandidates(
       df: DataFrame,
@@ -105,8 +112,7 @@ object Dedup {
     val pairs = banded
       .groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_capped(col("id"), maxBucket)).as("ids"))
-      .where(not_dropped(col("ids"), dropChannel(df, "minhash", droppedBuckets)) &&
-        size(col("ids")) > 1)
+      .where(not_dropped(col("ids"), dropChannel(df, "minhash", droppedBuckets)))
       .select(explode(array_pairs(col("ids"))).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
@@ -122,6 +128,35 @@ object Dedup {
       .withColumn("jaccard", ngram_jaccard(col("text_a"), col("text_b"), shingle))
       .where(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Near-duplicate GROUP membership: `(id, keep_id)` — the operator a
+    * training-data pipeline runs after candidate generation. Verified
+    * [[minhashCandidates]] pairs are resolved into transitive groups with
+    * distributed connected components ([[Components.connectedComponents]],
+    * large-star/small-star — no driver-side union-find), so A~B and B~C land
+    * in ONE group even when A and C are not directly paired. `keep_id` is the
+    * minimum id of the group, matching [[exactDuplicateMembership]]'s contract;
+    * only documents belonging to some group appear.
+    *
+    * Recall caveat (same as [[minhashCandidates]]): buckets over `maxBucket`
+    * are dropped-and-counted, so members reachable ONLY through a capped
+    * bucket can be missing from their group — watch the drop channel.
+    */
+  def nearDuplicateMembership(
+      df: DataFrame,
+      idCol: String = "id",
+      textCol: String = "text",
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingle: Int = 5,
+      minJaccard: Double = 0.5,
+      maxBucket: Int = 4096,
+      droppedBuckets: Option[vps.geom.ErrorChannel] = None): DataFrame = {
+    val pairs = minhashCandidates(df, idCol, textCol, numHashes, bands, shingle,
+      minJaccard, maxBucket, droppedBuckets)
+    Components.connectedComponents(pairs)
+      .select(col("id"), col("component").as("keep_id"))
   }
 
   /** SimHash near-duplicate pairs with hamming distance <= maxHamming.
@@ -145,8 +180,7 @@ object Dedup {
     banded
       .groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_capped(col("e"), maxBucket)).as("es"))
-      .where(not_dropped(col("es"), dropChannel(df, "simhash", droppedBuckets)) &&
-        size(col("es")) > 1)
+      .where(not_dropped(col("es"), dropChannel(df, "simhash", droppedBuckets)))
       .select(explode(array_pairs(col("es"))).as("p"))
       .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
         bit_count(col("p.a.sig").bitwiseXOR(col("p.b.sig"))).as("hamming"))
@@ -185,8 +219,7 @@ object Dedup {
     val pairs = banded
       .groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_capped(col("id"), maxBucket)).as("ids"))
-      .where(not_dropped(col("ids"), dropChannel(df, "embedding", droppedBuckets)) &&
-        size(col("ids")) > 1)
+      .where(not_dropped(col("ids"), dropChannel(df, "embedding", droppedBuckets)))
       .select(explode(array_pairs(col("ids"))).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()

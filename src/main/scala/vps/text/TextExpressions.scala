@@ -418,19 +418,31 @@ case class CollectCapped(
 }
 
 /** Filter companion to [[CollectCapped]]: true when the bucket array is
-  * non-null; a NULL (= overflowed) bucket ticks the channel's accumulator and
-  * is dropped, so capped-out LSH buckets are COUNTED, never silent.
-  * (Accumulator semantics: task retries can over-count — a metric, not data.)
+  * non-null AND holds at least `minSize` elements; a NULL (= overflowed)
+  * bucket ticks the channel's accumulator and is dropped, so capped-out LSH
+  * buckets are COUNTED, never silent.
+  *
+  * The size threshold is folded INTO this expression (rather than a separate
+  * `size(ids) > 1` conjunct) so the optimizer cannot split the filter and
+  * discard NULL rows on the cheap conjunct before the counter ticks —
+  * the count has exactly one evaluation site.
+  *
+  * Count-error directions: task retries / plan re-execution can OVER-count
+  * (accumulator semantics — this is a metric, not data); it can never
+  * UNDER-count, because no other predicate sees the row first.
   */
-case class NotDropped(child: Expression, channel: Option[vps.geom.ErrorChannel])
+case class NotDropped(child: Expression, channel: Option[vps.geom.ErrorChannel],
+    minSize: Int = 2)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = false
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
-    if (v == null) { channel.foreach(_.increment()); false } else true
+    if (v == null) { channel.foreach(_.increment()); false }
+    else v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].numElements() >= minSize
   }
-  override def nullSafeEval(v: Any): Any = true
+  override def nullSafeEval(v: Any): Any =
+    v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].numElements() >= minSize
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -535,9 +547,13 @@ object functions {
     */
   def collect_capped(e: Column, cap: Int): Column =
     c(CollectCapped(ex(e), cap).toAggregateExpression())
-  /** Keep non-null bucket rows; count NULL (capped-out) ones on `channel`. */
-  def not_dropped(e: Column, channel: Option[vps.geom.ErrorChannel] = None): Column =
-    c(NotDropped(ex(e), channel))
+  /** Keep bucket rows with >= `minSize` elements; count NULL (capped-out)
+    * ones on `channel`. The size check lives inside the expression so the
+    * counter cannot be starved by filter-conjunct reordering.
+    */
+  def not_dropped(e: Column, channel: Option[vps.geom.ErrorChannel] = None,
+      minSize: Int = 2): Column =
+    c(NotDropped(ex(e), channel, minSize))
 
   /** whitespace token count as a pure builtin composition (oracle-friendly). */
   def token_count(text: Column): Column =
