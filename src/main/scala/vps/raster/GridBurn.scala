@@ -1,0 +1,128 @@
+package vps.raster
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+import vps.geom.{TileMath, Wkb}
+
+/** Per-tile raster aggregation whose SHUFFLE carries partial grids, not point
+  * rows: the aggregation buffer IS the `resolution^2` float grid, points and
+  * geometry burns land in it map-side (partial aggregate), and the exchange
+  * moves O(tiles x map-partitions) merged grids that reduce by cell-wise
+  * addition. A hot tile (10^8 points in one key) costs each map partition one
+  * grid instead of flooding a single reducer with every point row — grids are
+  * a genuinely REDUCING aggregate, unlike the MVT feature pack where
+  * collect-style aggregation was measured to lose (see TilePipeline notes).
+  *
+  * Serialization is sparse-aware: a partial grid with fewer than
+  * `resolution^2 / 8` nonzero cells ships as (index, value) pairs, so SPARSE
+  * corpora (few points per tile per partition) don't pay a dense
+  * `resolution^2 x 4` bytes per partial — without it a 256x256 grid costs
+  * 256 KiB per (tile, partition) and the "optimization" would LOSE to the
+  * point shuffle below ~16k points per tile per partition.
+  *
+  * Memory: the hash-agg map holds one dense grid per in-flight group, so
+  * partitions spanning many tiles at high resolution want a bounded
+  * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` (sort-based
+  * fallback still partial-aggregates, streaming one group at a time).
+  */
+case class GridBurn(
+    wkb: Expression,
+    weight: Expression,
+    x: Expression,
+    y: Expression,
+    zoom: Int,
+    resolution: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Float]] {
+  require(resolution > 0 && resolution <= 4096, s"grid_burn: bad resolution $resolution")
+
+  override def children: Seq[Expression] = Seq(wkb, weight, x, y)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override def createAggregationBuffer(): Array[Float] =
+    new Array[Float](resolution * resolution)
+
+  // Rows from different groups interleave in one update stream, so the tile
+  // envelope memo is keyed by (x, y); within a group it's computed once.
+  @transient private var memoKey: Long = Long.MinValue
+  @transient private var memoEnv: org.locationtech.jts.geom.Envelope = _
+  private def env(tx: Int, ty: Int): org.locationtech.jts.geom.Envelope = {
+    val k = (tx.toLong << 32) | (ty & 0xffffffffL)
+    if (k != memoKey || memoEnv == null) {
+      memoEnv = TileMath.tileEnvelopeLatLng(zoom, tx, ty)
+      memoKey = k
+    }
+    memoEnv
+  }
+
+  override def update(buf: Array[Float], input: InternalRow): Array[Float] = {
+    val bv = wkb.eval(input)
+    val wv = weight.eval(input)
+    if (bv != null && wv != null) {
+      val tx = x.eval(input).asInstanceOf[Int]
+      val ty = y.eval(input).asInstanceOf[Int]
+      Raster.burn(Wkb.read(bv.asInstanceOf[Array[Byte]]), wv.asInstanceOf[Double],
+        env(tx, ty), resolution, buf)
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Float], other: Array[Float]): Array[Float] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Float]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Float]): Array[Byte] = {
+    var nnz = 0
+    var i = 0
+    while (i < buf.length) { if (buf(i) != 0f) nnz += 1; i += 1 }
+    if (nnz < buf.length / 8) {
+      val bb = java.nio.ByteBuffer.allocate(5 + nnz * 8)
+      bb.put(1.toByte)
+      bb.putInt(nnz)
+      i = 0
+      while (i < buf.length) {
+        if (buf(i) != 0f) { bb.putInt(i); bb.putFloat(buf(i)) }
+        i += 1
+      }
+      bb.array()
+    } else {
+      val bb = java.nio.ByteBuffer.allocate(1 + buf.length * 4)
+      bb.put(0.toByte)
+      i = 0
+      while (i < buf.length) { bb.putFloat(buf(i)); i += 1 }
+      bb.array()
+    }
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Float] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = new Array[Float](resolution * resolution)
+    if (bb.get() == 1) {
+      val nnz = bb.getInt()
+      var k = 0
+      while (k < nnz) { val idx = bb.getInt(); out(idx) = bb.getFloat(); k += 1 }
+    } else {
+      var i = 0
+      while (i < out.length) { out(i) = bb.getFloat(); i += 1 }
+    }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): GridBurn =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): GridBurn =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(wkb = newChildren(0), weight = newChildren(1), x = newChildren(2), y = newChildren(3))
+}

@@ -15,8 +15,9 @@ import vps.sql.functions._
   *
   * - [[rasterize]]: burn geometries into per-tile grids. Points increment their
   *   containing cell (weight-summed); lines/polygons burn every intersecting
-  *   cell (boundary tested with a prepared geometry). Distribution is the same
-  *   salted pattern as tiling: explode by tile key, aggregate partial grids.
+  *   cell (boundary tested with a prepared geometry). Distribution: explode by
+  *   tile key, then ONE grid-carrying exchange — partial grids are built
+  *   map-side by [[GridBurn]] and merged by cell addition, salt-free.
   * - [[vectorize]]: cells above a threshold -> cell boxes dissolved into
   *   polygons per tile (classic cascaded union keeps output deterministic).
   */
@@ -24,8 +25,45 @@ object Raster {
 
   final case class RasterTile(zoom: Int, x: Int, y: Int, resolution: Int, cells: Array[Float])
 
-  /** Rasterize (id, geom [, weight]) into per-tile grids at `zoom`. */
+  /** Rasterize (id, geom [, weight]) into per-tile grids at `zoom`.
+    *
+    * Scale shape: ONE exchange keyed by tile, and it carries PARTIAL GRIDS —
+    * [[GridBurn]] is a TypedImperativeAggregate whose buffer is the
+    * `resolution^2` float grid, so points burn map-side and partials merge by
+    * cell addition. A hot tile costs one grid per map partition instead of a
+    * per-point row flood into a single reducer; sparse partials ship as
+    * (index, value) pairs (see GridBurn).
+    */
   def rasterize(
+      input: DataFrame,
+      zoom: Int,
+      resolution: Int = 256,
+      weightCol: Option[String] = None): Dataset[RasterTile] = {
+    val spark = input.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.vps.ColumnBridge.{column => cb, expression => ex}
+    val weighted = weightCol.map(c => input.withColumn("_w", col(c).cast("double")))
+      .getOrElse(input.withColumn("_w", lit(1.0)))
+
+    val keyed = weighted
+      .select(col("geom"), col("_w"), explode(tile_keys(col("geom"), zoom)).as("k"))
+      .select(st_asWKB(col("geom")).as("wkb"), col("_w"), col("k.x").as("x"), col("k.y").as("y"))
+    val burn = cb(GridBurn(ex(col("wkb")), ex(col("_w")), ex(col("x")), ex(col("y")),
+      zoom, resolution).toAggregateExpression())
+    keyed
+      .groupBy(col("x"), col("y"))
+      .agg(burn.as("cells"))
+      .select(lit(zoom).as("zoom"), col("x"), col("y"),
+        lit(resolution).as("resolution"), col("cells"))
+      .as[RasterTile]
+  }
+
+  /** Reference implementation of [[rasterize]] that shuffles every point row
+    * to its tile's reducer — kept ONLY as the byte-equality oracle for
+    * RasterSpec (same [[burn]] kernel, opposite shuffle shape). Do not use at
+    * scale: a hot tile floods one reducer with O(points) rows.
+    */
+  private[raster] def rasterizePointShuffle(
       input: DataFrame,
       zoom: Int,
       resolution: Int = 256,
@@ -44,41 +82,50 @@ object Raster {
         val (x, y) = key
         val env = TileMath.tileEnvelopeLatLng(zoom, x, y)
         val cells = new Array[Float](resolution * resolution)
-        val dx = env.getWidth / resolution
-        val dy = env.getHeight / resolution
-        rows.foreach { case (wkb, w, _, _) =>
-          val g = Wkb.read(wkb)
-          g match {
-            case p: org.locationtech.jts.geom.Point =>
-              val c = p.getCoordinate
-              val ci = clamp(((c.x - env.getMinX) / dx).toInt, resolution)
-              val cj = clamp(((env.getMaxY - c.y) / dy).toInt, resolution)
-              cells(cj * resolution + ci) += w.toFloat
-            case other =>
-              // burn every cell whose box intersects the geometry, scanning only
-              // the envelope-covered cell range
-              val ge = other.getEnvelopeInternal
-              val i0 = clamp(((ge.getMinX - env.getMinX) / dx).toInt, resolution)
-              val i1 = clamp(((ge.getMaxX - env.getMinX) / dx).toInt, resolution)
-              val j0 = clamp(((env.getMaxY - ge.getMaxY) / dy).toInt, resolution)
-              val j1 = clamp(((env.getMaxY - ge.getMinY) / dy).toInt, resolution)
-              val prepared = org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(other)
-              var j = j0
-              while (j <= j1) {
-                var i = i0
-                while (i <= i1) {
-                  val cellBox = Geo.box(
-                    env.getMinX + i * dx, env.getMaxY - (j + 1) * dy,
-                    env.getMinX + (i + 1) * dx, env.getMaxY - j * dy)
-                  if (prepared.intersects(cellBox)) cells(j * resolution + i) += w.toFloat
-                  i += 1
-                }
-                j += 1
-              }
-          }
-        }
+        rows.foreach { case (wkb, w, _, _) => burn(Wkb.read(wkb), w, env, resolution, cells) }
         RasterTile(zoom, x, y, resolution, cells)
       }
+  }
+
+  /** Burn one geometry into a tile grid (shared by both rasterize paths and
+    * [[GridBurn]]): points increment their containing cell; other geometries
+    * burn every cell whose box intersects, scanning only the envelope-covered
+    * range with a prepared geometry.
+    */
+  private[raster] def burn(
+      g: Geometry,
+      w: Double,
+      env: org.locationtech.jts.geom.Envelope,
+      resolution: Int,
+      cells: Array[Float]): Unit = {
+    val dx = env.getWidth / resolution
+    val dy = env.getHeight / resolution
+    g match {
+      case p: org.locationtech.jts.geom.Point =>
+        val c = p.getCoordinate
+        val ci = clamp(((c.x - env.getMinX) / dx).toInt, resolution)
+        val cj = clamp(((env.getMaxY - c.y) / dy).toInt, resolution)
+        cells(cj * resolution + ci) += w.toFloat
+      case other =>
+        val ge = other.getEnvelopeInternal
+        val i0 = clamp(((ge.getMinX - env.getMinX) / dx).toInt, resolution)
+        val i1 = clamp(((ge.getMaxX - env.getMinX) / dx).toInt, resolution)
+        val j0 = clamp(((env.getMaxY - ge.getMaxY) / dy).toInt, resolution)
+        val j1 = clamp(((env.getMaxY - ge.getMinY) / dy).toInt, resolution)
+        val prepared = org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(other)
+        var j = j0
+        while (j <= j1) {
+          var i = i0
+          while (i <= i1) {
+            val cellBox = Geo.box(
+              env.getMinX + i * dx, env.getMaxY - (j + 1) * dy,
+              env.getMinX + (i + 1) * dx, env.getMaxY - j * dy)
+            if (prepared.intersects(cellBox)) cells(j * resolution + i) += w.toFloat
+            i += 1
+          }
+          j += 1
+        }
+    }
   }
 
   private def clamp(v: Int, res: Int): Int = math.max(0, math.min(res - 1, v))

@@ -46,6 +46,60 @@ class RasterSpec extends AnyFunSuite {
     assert(tiles.map(_.cells.count(_ != 0)).max > 100)
   }
 
+  test("grid-shuffle rasterize is byte-equal to the point-shuffle reference") {
+    // weights are exactly-representable floats and cells are integer-multiples
+    // of them, so float addition is exact in any merge order — byte equality
+    // is well-defined across the two shuffle shapes
+    val docs = vps.docs.InterleavedDocs.fromDocuments(spark, "/root/testdata/sf0.001")
+    val pts = vps.docs.InterleavedDocs.extractGeoSpans(docs)
+      .select(($"id" * 10 + $"span_offset").as("id"), $"geom")
+    def grids(ds: org.apache.spark.sql.Dataset[Raster.RasterTile]) =
+      ds.collect().map(t => ((t.x, t.y), t.cells.toSeq)).toMap
+    assert(grids(Raster.rasterize(pts, 3, 64)) ===
+      grids(Raster.rasterizePointShuffle(pts, 3, 64)))
+
+    val poly = Seq(
+      (1L, "POLYGON ((0 0, 40 0, 40 40, 0 40, 0 0))", 2.5),
+      (2L, "LINESTRING (-30 -30, 20 15)", 0.5))
+      .toDF("id", "wkt", "wt").select($"id", st_geomFromWKT($"wkt").as("geom"), $"wt")
+    assert(grids(Raster.rasterize(poly, 2, 32, weightCol = Some("wt"))) ===
+      grids(Raster.rasterizePointShuffle(poly, 2, 32, weightCol = Some("wt"))))
+  }
+
+  test("hot tile: the exchange carries O(partitions) partial grids, not points") {
+    val n = 50000
+    // all points land in ONE zoom-4 tile (tile width 22.5 deg); 4 input
+    // partitions from the range leaf — no auxiliary repartition exchange, so
+    // the rasterize aggregation is the job's only shuffle
+    val pts = spark.range(0, n, 1, 4).toDF("id")
+      .select($"id", st_point(
+        lit(1.0) + ($"id" % 1000).cast("double") * 0.0004,
+        lit(1.0) + ($"id" / 1000).cast("double") * 0.004).as("geom"))
+
+    val records = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) records.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val tiles = Raster.rasterize(pts, zoom = 4, resolution = 64).collect()
+      assert(tiles.length === 1)
+      assert(tiles.head.cells.map(_.toDouble).sum === n.toDouble)
+      // poll until the async listener bus settles
+      var last = -1L
+      var spins = 0
+      while (records.get() != last && spins < 100) {
+        last = records.get(); Thread.sleep(100); spins += 1
+      }
+      assert(records.get() <= 16,
+        s"expected <= one partial grid per map partition on the exchange, saw ${records.get()} rows")
+      assert(records.get() > 0, "the grid exchange should be observable")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("zonalStats: per-zone aggregates match direct cell math") {
     // deterministic point cloud with weights, rasterized, then two box zones
     val pts = spark.range(0, 4000).toDF("id")
