@@ -57,9 +57,13 @@ object InterleavedDocs {
     // spread the (few) base docs across all cores BEFORE the replication
     // explode: the test-SF parquet is one file = one input split, and an
     // explode upstream of any exchange would synthesize the whole replicated
-    // corpus in a single task
-    val base = spark.read.parquet(s"$sfDir/documents.parquet")
-      .repartition(spark.sparkContext.defaultParallelism)
+    // corpus in a single task. Gated on the actual scan layout (like
+    // SparkEntry.docsT): a production-scale table already splits into >=
+    // parallelism partitions and must not pay a full-corpus shuffle here.
+    val scan = spark.read.parquet(s"$sfDir/documents.parquet")
+    val parallelism = spark.sparkContext.defaultParallelism
+    val base =
+      if (scan.rdd.getNumPartitions < parallelism) scan.repartition(parallelism) else scan
     val replicated =
       if (replication == 1) base.withColumn("id", col("doc_id").cast("long"))
       else base

@@ -106,13 +106,18 @@ object VectorSearch {
   }
 
   /** k-means|| oversampled init (Bahmani et al., VLDB 2012 — public paper),
-    * fully deterministic: each round every vector joins the candidate set
+    * deterministic sampling: each round every vector joins the candidate set
     * with probability min(1, l * d²/φ), where the coin is a hash of
-    * (id, round) — reproducible across runs AND cluster sizes, no RNG state.
-    * Each round costs two corpus scans (cost φ, then sample) and no shuffle;
-    * candidates (≈ rounds × l vectors) are weighted by attraction counts and
-    * reduced to `c` centroids with a LOCAL weighted Lloyd on the driver.
-    * Distance is 1 − cosine, matching the IVF assignment metric.
+    * (id, round) — no RNG state, so runs reproduce exactly on a fixed
+    * partitioning. Across DIFFERENT partition counts the per-vector coins are
+    * unchanged but φ is a floating-point sum whose partial-sum grouping
+    * follows the partitioning, so a coin sitting within ~1 ulp of its
+    * threshold can flip — reproducibility across cluster sizes is
+    * near-exact, not bit-exact. Each round costs two scans of the persisted
+    * corpus (cost φ, then sample) and no shuffle; candidates (≈ rounds × l
+    * vectors) are weighted by attraction counts and reduced to `c` centroids
+    * with a LOCAL weighted Lloyd on the driver. Distance is 1 − cosine,
+    * matching the IVF assignment metric.
     */
   def kmeansParallelInit(
       vectors: DataFrame,
@@ -123,10 +128,13 @@ object VectorSearch {
       vecCol: String = "embedding"): Array[(Int, Array[Float])] = {
     val spark = vectors.sparkSession
     val l = math.max(1, oversampleFactor * c)
+    // persisted for the whole init: every round scans it twice (phi + sample)
+    // and the weighting pass once more
     val typed = vectors.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])](Encoders.tuple(Encoders.scalaLong,
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]()))
       .rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cands: Array[Array[Float]] = coarseCentroids(vectors, 1, idCol, vecCol).map(_._2)
     var r = 1
     while (r <= rounds) {
@@ -160,6 +168,7 @@ object VectorSearch {
       Iterator.single(n)
     }.treeReduce { (a, b) => var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a }
     bc.unpersist()
+    typed.unpersist(blocking = false)
     val reduced = weightedLloydLocal(cands, weights, c)
     // tiny corpora can yield < c candidates: top up from the hash sample
     val topped =

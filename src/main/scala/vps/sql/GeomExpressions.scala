@@ -243,6 +243,41 @@ case class StIntersects(left: Expression, right: Expression) extends GeomBinaryP
   override protected def test(a: org.locationtech.jts.geom.prep.PreparedGeometry, b: Geometry): Boolean = a.intersects(b)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
+
+/** `st_intersects` with a caller-supplied UNIQUE key for the prepared (left)
+  * geometry: the prepared-geometry cache is keyed by the long id instead of
+  * by WKB content, making the per-pair cache probe O(1) instead of O(polygon
+  * bytes) ([[GeomCache]] hashes + equality-checks the full WKB each
+  * evaluation — two passes over a 10k-vertex polygon per candidate pair).
+  *
+  * Safety: the cache is INSTANCE state, not a JVM-wide map — every Spark task
+  * deserializes its own expression tree, so entries can never leak between
+  * tasks, queries, or sessions even when two queries reuse the same id for
+  * different geometries. The caller's contract is only that the key is unique
+  * WITHIN the query (e.g. the join's `poly_id`).
+  */
+case class StIntersectsKeyed(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  @transient private lazy val cache =
+    new java.util.LinkedHashMap[java.lang.Long, org.locationtech.jts.geom.prep.PreparedGeometry](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[java.lang.Long, org.locationtech.jts.geom.prep.PreparedGeometry]): Boolean =
+        size() > 256
+    }
+  override def nullSafeEval(k: Any, g: Any, p: Any): Any = {
+    val key = java.lang.Long.valueOf(k.asInstanceOf[Long])
+    var pg = cache.get(key)
+    if (pg == null) {
+      pg = org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(
+        Wkb.read(g.asInstanceOf[Array[Byte]]))
+      cache.put(key, pg)
+    }
+    pg.intersects(Wkb.read(p.asInstanceOf[Array[Byte]]))
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(f, s, t)
+}
 /** st_within(a, b) = "a within b" (PostGIS argument order). The container is
   * the RIGHT operand, so that side is prepared/cached.
   */
@@ -469,6 +504,11 @@ object functions {
     c(StReproject(ex(g), ex(lit(fromCrs)), ex(lit(toCrs))))
   def st_contains(a: Column, b: Column): Column = c(StContains(ex(a), ex(b)))
   def st_intersects(a: Column, b: Column): Column = c(StIntersects(ex(a), ex(b)))
+  /** [[StIntersectsKeyed]]: `key` must uniquely identify geometry `a` within
+    * the query; the prepared-geometry cache probes by the key in O(1).
+    */
+  def st_intersects_keyed(key: Column, a: Column, b: Column): Column =
+    c(StIntersectsKeyed(ex(key.cast("long")), ex(a), ex(b)))
   def st_within(a: Column, b: Column): Column = c(StWithin(ex(a), ex(b)))
   def st_distance(a: Column, b: Column): Column = c(StDistance(ex(a), ex(b)))
   def tile_x(lon: Column, zoom: Column): Column = c(TileXOf(ex(lon.cast("double")), ex(zoom.cast("int"))))

@@ -56,6 +56,10 @@ class VpsExtensions extends (SparkSessionExtensions => Unit) {
     inject("array_pairs", e => ArrayPairs(e(0)))
     // bounded collect_list (cap must be a foldable integer literal)
     inject("collect_capped", e => {
+      // guard BEFORE eval: a column-reference cap would otherwise die inside
+      // eval(InternalRow.empty) with an unhelpful unresolved/NPE-style error
+      if (!e(1).foldable) throw new IllegalArgumentException(
+        s"collect_capped: cap must be a foldable integer literal, got ${e(1).sql}")
       val cap = e(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty) match {
         case n: Number => n.intValue()
         case other => throw new IllegalArgumentException(

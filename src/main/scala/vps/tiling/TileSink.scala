@@ -47,15 +47,21 @@ object TileSink {
       if (buffered.isEmpty) Iterator.empty
       else {
         val zoom = buffered.head.zoom
-        // order-independent fingerprint of the partition's tile-key set: a
-        // resume only skips when BOTH the layout (parts) and the exact tiles
-        // this partition carries match the committed record — equal partition
-        // COUNTS with a different tile->partition mapping (changed input under
-        // the same layout) rewrite instead of silently skipping
+        // order-independent fingerprint of the partition's (tile key, tile
+        // CONTENT) set: a resume only skips when the layout (parts), the
+        // exact tiles this partition carries, AND their encoded bytes all
+        // match the committed record. Folding the content hash in closes the
+        // case where an input edit changes tile bytes without changing which
+        // tiles land in the partition — that now rewrites instead of keeping
+        // stale .mvt output. (The content hash is FNV-1a over bytes the
+        // partition already holds in memory — noise next to the MVT encode.)
         var keysig = 0L
         buffered.foreach { t =>
+          var h = 0xcbf29ce484222325L // FNV-1a 64 over the tile bytes
+          var i = 0
+          while (i < t.mvt.length) { h = (h ^ (t.mvt(i) & 0xffL)) * 0x100000001b3L; i += 1 }
           keysig ^= vps.text.TextOps.mix64(
-            (t.zoom.toLong << 58) ^ (t.x.toLong << 29) ^ t.y.toLong)
+            ((t.zoom.toLong << 58) ^ (t.x.toLong << 29) ^ t.y.toLong) ^ vps.text.TextOps.mix64(h))
         }
         val lineagePath = new Path(s"$out/_lineage/z$zoom/part-$pid.json")
         val prior: Option[PartitionLineage] =

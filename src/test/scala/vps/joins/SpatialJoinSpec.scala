@@ -56,6 +56,22 @@ class SpatialJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("keyed prepared-geometry cache cannot leak across queries reusing ids") {
+    // two sequential cell joins bind poly_id=0 to DIFFERENT geometries; the
+    // keyed cache is expression-instance state, so the second query must see
+    // its own polygon, not a stale entry
+    val pts = Seq((1L, 5.0, 5.0), (2L, 55.0, 55.0)).toDF("id", "lon", "lat")
+      .select($"id", st_point($"lon", $"lat").as("geom"))
+    def joinWith(wkt: String): Set[Long] = {
+      val polys = Seq((0L, wkt)).toDF("poly_id", "wkt")
+        .select($"poly_id", st_geomFromWKT($"wkt").as("geom"))
+      SpatialJoins.pipCellJoin(pts, polys, level = 3)
+        .select($"id").as[Long].collect().toSet
+    }
+    assert(joinWith("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))") === Set(1L))
+    assert(joinWith("POLYGON ((50 50, 60 50, 60 60, 50 60, 50 50))") === Set(2L))
+  }
+
   test("knnBroadcast matches brute-force top-k") {
     val queries = Seq((0L, 10.0, 20.0), (1L, -120.0, -60.0), (2L, 179.0, 79.0))
       .toDF("query_id", "lon", "lat")

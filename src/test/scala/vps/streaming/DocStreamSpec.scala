@@ -135,6 +135,39 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("event-time TTL: idle user's state is evicted and a re-arrival restarts from zero") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val input = mem.toDF().toDF("user", "created_at")
+      .withColumn("comments",
+        expr("CAST(array() AS array<struct<user:string,ts:bigint,text:string>>)"))
+    val q = ChangesetSessions.userActivity(input,
+      stateTtlSeconds = Some(100), watermarkDelay = "0 seconds")
+      .toDF()
+      .writeStream.format("memory").queryName("activity_ttl").outputMode("update")
+      .start()
+    try {
+      def step(rows: (String, Long)*): Unit = { mem.addData(rows); q.processAllAvailable() }
+      step(("alice", 1000L))          // state: alice(1, ts 1000); timeout at 1100
+      step(("bob", 5000L))            // watermark was 1000 -> alice survives; wm advances to 5000
+      step(("bob", 6000L))            // wm 5000 > 1100 -> alice EVICTED (final snapshot emitted)
+      step(("alice", 7000L))          // re-arrival: state restarts from zero
+      val alice = spark.table("activity_ttl")
+        .where($"user" === "alice")
+        .select($"nChangesets", $"lastCreatedAt")
+        .as[(Long, Long)].collect().toSet
+      // first arrival, eviction snapshot (same totals), fresh restart —
+      // nChangesets would be 2 at ts 7000 if state had survived the idle gap
+      assert(alice === Set((1L, 1000L), (1L, 7000L)),
+        s"expected eviction + fresh restart, got $alice")
+      // bob's state survived (never idle past the TTL between his events)
+      val bob = spark.table("activity_ttl").where($"user" === "bob")
+        .select($"nChangesets", $"lastCreatedAt").as[(Long, Long)].collect().toSet
+      assert(bob === Set((1L, 5000L), (2L, 6000L)))
+    } finally q.stop()
+  }
+
   test("session windows + watermark: gap-based comment sessions (batch oracle, streaming append)") {
     // batch mode: full deterministic sessionization of the mirror
     val batch = ChangesetSessions.commentSessions(

@@ -175,6 +175,29 @@ class TilePipelineSpec extends AnyFunSuite {
     lineageDir.listFiles().foreach(_.delete())
     TileSink.write(tiles, dir)
     assert(victim.exists())
+    // content change with the SAME tile-key set, layout, AND tile->partition
+    // mapping must rewrite, not skip: the keysig folds the encoded bytes in.
+    // Hash-partition by tile key so the mapping is identical across runs (a
+    // round-robin repartition would reshuffle the mapping and mask the check),
+    // then add one point INSIDE an existing tile — key set unchanged, that
+    // tile's bytes change.
+    val dir2 = java.nio.file.Files.createTempDirectory("tilesink2").toString
+    val t1 = TilePipeline.tileZoom(geoms.select($"id", $"geom"), 3)
+      .repartition(4, $"x", $"y")
+    TileSink.write(t1, dir2)
+    val existing = new java.io.File(s"$dir2/3").listFiles()
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".mvt")).head
+    val tx = existing.getParentFile.getName.toInt
+    val ty = existing.getName.stripSuffix(".mvt").toInt
+    val env = vps.geom.TileMath.tileEnvelopeLatLng(3, tx, ty)
+    val extra = Seq((999999L, f"POINT (${env.centre.x}%.4f ${env.centre.y}%.4f)"))
+      .toDF("id", "wkt").select($"id", vps.sql.functions.st_geomFromWKT($"wkt").as("geom"))
+    val before = java.nio.file.Files.readAllBytes(existing.toPath).toSeq
+    val t2 = TilePipeline.tileZoom(geoms.select($"id", $"geom").unionByName(extra), 3)
+      .repartition(4, $"x", $"y")
+    TileSink.write(t2, dir2)
+    val after = java.nio.file.Files.readAllBytes(existing.toPath).toSeq
+    assert(after !== before, "changed tile content under an identical key set must rewrite")
   }
 
   test("pyramidRekey keeps extra input columns visible to the reduce hook") {
