@@ -417,6 +417,29 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // ---- third typed feed: augmented-diff prev/current pairs — tag/geom
+    // change detection reads the REAL nested pair columns (null-safe map and
+    // string compares, nds sizes); the oracle recomputes every field from the
+    // generator's integer formulas (DocStreamSpec gates stream == frame) ----
+    "q37_diff_tag_change" -> ((s, dir) => {
+      vps.streaming.Diffs.frame(s, sequences = 20, rowsPerSeq = 100)
+        .select(col("id"),
+          col("element_type").cast("int").as("element_type"),
+          col("version"), col("minor_version"),
+          (col("prev_tags").isNotNull &&
+            !(array_sort(map_entries(col("tags"))) <=> array_sort(map_entries(col("prev_tags")))))
+            .as("tags_changed"),
+          (col("prev_geom_wkt").isNotNull && !(col("geom_wkt") <=> col("prev_geom_wkt")))
+            .as("geom_changed"),
+          size(col("nds")).cast("long").as("n_nds"),
+          coalesce(size(col("prev_nds")), lit(-1)).cast("long").as("n_prev_nds"),
+          (!col("visible")).as("deleted"),
+          coalesce(col("prev_version"), lit(0)).as("prev_version"),
+          element_at(col("tags"), "v").as("tag_v"),
+          coalesce(element_at(col("prev_tags"), "v"), lit("-")).as("prev_tag_v"))
+        .orderBy("id")
+    }),
+
     // ---- reverse geocode (broadcast pip + per-row region names) ----
     "q30_geocode" -> ((s, dir) => {
       val pts = geoPoints(s, dir)
@@ -710,6 +733,25 @@ object SparkEntry {
           |g AS (SELECT text, CAST(min(id) AS BIGINT) AS keep_id FROM corpus
           |      GROUP BY text HAVING count(*) > 1)
           |SELECT c.id, g.keep_id FROM corpus c JOIN g USING (text) ORDER BY id""".stripMargin,
+      "q37_diff_tag_change" ->
+        """SELECT i AS id,
+          |  CAST(i % 3 + 1 AS INT) AS element_type,
+          |  CAST(CASE WHEN i % 7 = 0 THEN 1 ELSE i % 5 + 2 END AS INT) AS version,
+          |  (i % 7 != 0 AND i % 11 = 0) AS minor_version,
+          |  (i % 7 != 0 AND i % 11 != 0 AND i % 3 = 0) AS tags_changed,
+          |  (i % 7 != 0) AS geom_changed,
+          |  CAST(CASE WHEN i % 3 + 1 = 2 THEN 3 ELSE 0 END AS BIGINT) AS n_nds,
+          |  CAST(CASE WHEN i % 7 = 0 THEN -1
+          |            WHEN i % 3 + 1 = 2 THEN 2 ELSE 0 END AS BIGINT) AS n_prev_nds,
+          |  (i % 13 = 0) AS deleted,
+          |  CAST(CASE WHEN i % 7 = 0 THEN 0
+          |            WHEN i % 11 = 0 THEN i % 5 + 2
+          |            ELSE i % 5 + 1 END AS INT) AS prev_version,
+          |  CAST(i % 10 AS VARCHAR) AS tag_v,
+          |  CASE WHEN i % 7 = 0 THEN '-'
+          |       WHEN i % 11 != 0 AND i % 3 = 0 THEN CAST((i + 1) % 10 AS VARCHAR)
+          |       ELSE CAST(i % 10 AS VARCHAR) END AS prev_tag_v
+          |FROM range(2000) t(i) ORDER BY id""".stripMargin,
       "q30_geocode" ->
         s"""WITH pts AS (SELECT id * 10 + span_offset AS pt_id, lon, lat FROM ($geoSpansSql)),
            | polys AS (

@@ -104,6 +104,36 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("augmented-diffs feed: prev/current pair schema, stream == batch mirror") {
+    val q = spark.readStream
+      .format("augmented-diffs")
+      .option("head", 5)
+      .option("batch_size", 2)
+      .option("rows_per_sequence", 40)
+      .load()
+      .writeStream.format("memory").queryName("diffs").trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("diffs")
+      assert(out.count() === 5L * 40)
+      assert(out.schema === Diffs.schema)
+      // creates: every prev_* field null; edits: pair fields populated
+      assert(out.where($"id" % 7 === 0)
+        .where($"prev_tags".isNotNull || $"prev_geom_wkt".isNotNull ||
+          $"prev_version".isNotNull || $"prev_nds".isNotNull || $"prev_user".isNotNull)
+        .count() === 0, "creates must have an all-null prev side")
+      assert(out.where($"id" % 7 =!= 0 && $"prev_version".isNull).count() === 0,
+        "edits must carry the prev side")
+      // minor versions: prev.version == version (the reference's flag semantics)
+      assert(out.where($"minor_version" && ($"prev_version" =!= $"version")).count() === 0)
+      // the full drained stream equals the batch mirror row-for-row
+      val streamRows = out.orderBy("id").collect().map(_.toSeq).toSeq
+      val batchRows = Diffs.frame(spark, 5, 40).orderBy("id").collect().map(_.toSeq).toSeq
+      assert(streamRows === batchRows)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState: per-user running totals carry across micro-batches") {
     val q = ChangesetSessions.userActivity(
       spark.readStream.format("changesets")
