@@ -17,6 +17,11 @@ package vps.geom
   * - EPSG:2056 (CH1903+ / LV95: Swiss oblique conformal cylindrical exact
   *   closed forms on Bessel 1841 + CH1903 translation, Swisstopo public
   *   constants, ~1-2 m — the CHENyx06 grid is a native-proj feature)
+  * - EPSG:5070 (NAD83 / Conus Albers equal-area conic — Snyder 1987 §14)
+  * - raw proj4 parameter strings (`+proj=tmerc/lcc/aea/utm/longlat/webmerc`
+  *   with +ellps/+a/+rf/+datum and optional +towgs84 Helmert), parsed onto
+  *   the same engines — the breadth path for CRSs without a named preset
+  *   (the reference accepts any proj4 CRS, `vectortile/package.scala:28-39`)
   *
   * All transforms route through 4326, so any supported pair composes.
   */
@@ -53,7 +58,7 @@ object Proj {
     * ([[Helmert]]).
     */
   final class KruegerTm(a: Double, invF: Double, k0: Double,
-      lat0: Double, lon0: Double, fe: Double, fn: Double) {
+      lat0: Double, lon0: Double, fe: Double, fn: Double) extends PlaneProjection {
     private val f = 1.0 / invF
     private val n = f / (2.0 - f)
     private val n2 = n * n; private val n3 = n2 * n; private val n4 = n3 * n
@@ -246,10 +251,25 @@ object Proj {
   private[geom] val BesselA = 6377397.155
   private[geom] val BesselInvF = 299.1528128
 
+  /** A plane projection on its own datum's geodetic coordinates (degrees). */
+  trait PlaneProjection {
+    def forward(lon: Double, lat: Double): (Double, Double)
+    def inverse(x: Double, y: Double): (Double, Double)
+  }
+
   sealed trait Crs
   case object LonLat extends Crs
   case object WebMercator extends Crs
   final case class Utm(zone: Int, south: Boolean) extends Crs
+
+  /** A CRS assembled from proj4-style parameters: any [[PlaneProjection]] on
+    * an arbitrary ellipsoid, plus an optional `+towgs84` Helmert (applied in
+    * the proj4 convention: local datum -> WGS84). Without a shift the lon/lat
+    * hub is treated as datum-equivalent (GRS80-family datums sit within
+    * centimetres of WGS84).
+    */
+  final case class Proj4Crs(proj: PlaneProjection, a: Double, invF: Double,
+      toWgs84: Option[Helmert]) extends Crs
   /** EPSG:27700 — OSGB36 / British National Grid (Airy 1830 TM + Helmert
     * datum shift to/from the WGS84 hub).
     */
@@ -269,7 +289,7 @@ object Proj {
   final case class Lcc(
       lat0: Double, lat1: Double, lat2: Double, lon0: Double,
       fe: Double, fn: Double,
-      a: Double = 6378137.0, invF: Double = 298.257222101) extends Crs {
+      a: Double = 6378137.0, invF: Double = 298.257222101) extends Crs with PlaneProjection {
     private val f = 1.0 / invF
     private val e = math.sqrt(f * (2.0 - f))
     private def m(phi: Double): Double = {
@@ -333,26 +353,195 @@ object Proj {
   val LccCanada: Lcc = Lcc(lat0 = 49.0, lat1 = 49.0, lat2 = 77.0, lon0 = -95.0,
     fe = 0.0, fn = 0.0)
 
+  /** Albers equal-area conic, 2SP (ellipsoidal closed forms — Snyder 1987
+    * §14). The standard grid for US federal rasters (EPSG:5070-class).
+    * Angles in degrees; defaults to GRS80 like [[Lcc]]. Independent gate:
+    * the Jacobian determinant of (x, y) w.r.t. (lon, lat) must equal the
+    * ellipsoidal area element everywhere (equal-area property), checked by
+    * finite differences in ProjSpec.
+    */
+  final case class Aea(
+      lat0: Double, lat1: Double, lat2: Double, lon0: Double,
+      fe: Double, fn: Double,
+      a: Double = 6378137.0, invF: Double = 298.257222101) extends Crs with PlaneProjection {
+    require(!invF.isInfinite, "spherical Albers is not supported (ellipsoidal forms divide by e)")
+    private val f = 1.0 / invF
+    private val e2 = f * (2.0 - f)
+    private val e = math.sqrt(e2)
+    private def m(phi: Double): Double = {
+      val s = math.sin(phi)
+      math.cos(phi) / math.sqrt(1.0 - e2 * s * s)
+    }
+    /** Snyder 14-12: q(phi), with q(pi/2) = qPolar */
+    private def q(phi: Double): Double = {
+      val s = math.sin(phi)
+      (1.0 - e2) * (s / (1.0 - e2 * s * s) -
+        (1.0 / (2.0 * e)) * math.log((1.0 - e * s) / (1.0 + e * s)))
+    }
+    private val phi0 = math.toRadians(lat0)
+    private val phi1 = math.toRadians(lat1)
+    private val phi2 = math.toRadians(lat2)
+    private val nC =
+      if (math.abs(phi1 - phi2) < 1e-12) math.sin(phi1)
+      else {
+        val m1 = m(phi1); val m2 = m(phi2)
+        (m1 * m1 - m2 * m2) / (q(phi2) - q(phi1))
+      }
+    private val bigC = m(phi1) * m(phi1) + nC * q(phi1)
+    private def rho(phi: Double): Double = a * math.sqrt(bigC - nC * q(phi)) / nC
+    private val rho0 = rho(phi0)
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val r = rho(math.toRadians(lat))
+      val theta = nC * (math.toRadians(lon) - math.toRadians(lon0))
+      (fe + r * math.sin(theta), fn + rho0 - r * math.cos(theta))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val sgn = math.signum(nC)
+      val dx = x - fe
+      val dy = rho0 - (y - fn)
+      val r = sgn * math.sqrt(dx * dx + dy * dy)
+      val theta = math.atan2(sgn * dx, sgn * dy)
+      val lam = theta / nC + math.toRadians(lon0)
+      val qv = (bigC - (r * nC / a) * (r * nC / a)) / nC
+      // Snyder 3-16 latitude iteration from phi = asin(q/2)
+      var phi = math.asin(math.min(1.0, math.max(-1.0, qv / 2.0)))
+      var i = 0
+      while (i < 12) {
+        val s = math.sin(phi)
+        val onemes2 = 1.0 - e2 * s * s
+        phi += onemes2 * onemes2 / (2.0 * math.cos(phi)) * (
+          qv / (1.0 - e2) - s / onemes2 +
+            (1.0 / (2.0 * e)) * math.log((1.0 - e * s) / (1.0 + e * s)))
+        i += 1
+      }
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
+  /** EPSG:5070 — NAD83 / Conus Albers (EPSG registry parameters). */
+  val ConusAlbers: Aea = Aea(lat0 = 23.0, lat1 = 29.5, lat2 = 45.5, lon0 = -96.0,
+    fe = 0.0, fn = 0.0)
+
+  // ---- proj4-string front-end --------------------------------------------
+
+  /** Named ellipsoids a proj4 string can reference (public proj data). */
+  private val Ellipsoids: Map[String, (Double, Double)] = Map(
+    "wgs84" -> (6378137.0, 298.257223563),
+    "grs80" -> (6378137.0, 298.257222101),
+    "airy" -> (AiryA, AiryInvF),
+    "bessel" -> (BesselA, BesselInvF),
+    "intl" -> (6378388.0, 297.0),
+    "clrk66" -> (6378206.4, 294.978698213898),
+    "sphere" -> (6370997.0, Double.PositiveInfinity))
+
+  /** Parse a raw proj4 parameter string (`+proj=... +lat_1=... ...`) into a
+    * [[Crs]] over the existing projection engines: `longlat`, `merc`/
+    * `webmerc` (spherical web mercator), `utm`, `tmerc` (generalized Krüger),
+    * `lcc` (1/2SP), `aea` (Albers). Ellipsoid from `+ellps`/`+datum` or
+    * explicit `+a` + `+rf`/`+b`; an optional `+towgs84` (3 or 7 parameters,
+    * proj4 position-vector convention local->WGS84) layers a Helmert datum
+    * shift. Unsupported: grid-file datums (+nadgrids), +pm, projections
+    * outside the list above.
+    */
+  def parseProj4(s: String): Crs = {
+    val kv: Map[String, String] = s.trim.split("\\s+").toSeq
+      .filter(_.startsWith("+"))
+      .map(_.drop(1))
+      .map { tok =>
+        tok.split("=", 2) match {
+          case Array(k, v) => k.toLowerCase -> v
+          case Array(k) => k.toLowerCase -> ""
+        }
+      }.toMap
+    def num(k: String, dflt: Double): Double =
+      kv.get(k).map(_.toDouble).getOrElse(dflt)
+    val (ea, eInvF) = {
+      val named = kv.get("ellps").orElse(kv.get("datum")).map(_.toLowerCase)
+        .map(n => Ellipsoids.getOrElse(n match { case "nad83" | "etrs89" => "grs80"; case other => other },
+          throw new IllegalArgumentException(s"unsupported ellipsoid/datum '$n'")))
+      named.getOrElse {
+        kv.get("a").map(_.toDouble) match {
+          case Some(a0) =>
+            val invF = kv.get("rf").map(_.toDouble).getOrElse {
+              val b = kv.get("b").map(_.toDouble).getOrElse(a0)
+              if (b == a0) Double.PositiveInfinity else a0 / (a0 - b)
+            }
+            (a0, invF)
+          case None => Ellipsoids("wgs84")
+        }
+      }
+    }
+    val toWgs: Option[Helmert] = kv.get("towgs84")
+      .map(_.split(",").map(_.trim.toDouble))
+      .flatMap {
+        case Array(0, 0, 0) => None
+        case Array(tx, ty, tz) => Some(Helmert(tx, ty, tz, 0, 0, 0, 0))
+        case Array(tx, ty, tz, rx, ry, rz, ppm) => Some(Helmert(tx, ty, tz, rx, ry, rz, ppm))
+        case other => throw new IllegalArgumentException(
+          s"+towgs84 needs 3 or 7 parameters, got ${other.length}")
+      }
+    val k0 = num("k", num("k_0", 1.0))
+    kv.getOrElse("proj", throw new IllegalArgumentException(s"missing +proj in '$s'")) match {
+      case "longlat" | "latlong" | "latlon" | "lonlat" =>
+        require(toWgs.isEmpty, "datum-shifted longlat is not a plane CRS this engine targets")
+        LonLat
+      case "webmerc" => WebMercator
+      case "merc" if kv.get("a").contains("6378137") && kv.get("b").contains("6378137") =>
+        WebMercator // the spherical web-mercator spelling
+      case "utm" =>
+        val z = kv.getOrElse("zone",
+          throw new IllegalArgumentException("+proj=utm needs +zone")).toInt
+        require(z >= 1 && z <= 60, s"UTM zone $z out of [1,60]")
+        Utm(z, south = kv.contains("south"))
+      case "tmerc" =>
+        Proj4Crs(new KruegerTm(ea, eInvF, k0,
+          lat0 = num("lat_0", 0), lon0 = num("lon_0", 0),
+          fe = num("x_0", 0), fn = num("y_0", 0)), ea, eInvF, toWgs)
+      case "lcc" =>
+        val lat1 = num("lat_1", num("lat_0", 0))
+        Proj4Crs(Lcc(lat0 = num("lat_0", lat1), lat1 = lat1, lat2 = num("lat_2", lat1),
+          lon0 = num("lon_0", 0), fe = num("x_0", 0), fn = num("y_0", 0),
+          a = ea, invF = eInvF), ea, eInvF, toWgs)
+      case "aea" =>
+        val lat1 = num("lat_1", num("lat_0", 0))
+        Proj4Crs(Aea(lat0 = num("lat_0", lat1), lat1 = lat1, lat2 = num("lat_2", lat1),
+          lon0 = num("lon_0", 0), fe = num("x_0", 0), fn = num("y_0", 0),
+          a = ea, invF = eInvF), ea, eInvF, toWgs)
+      case other => throw new IllegalArgumentException(
+        s"unsupported +proj=$other (supported: longlat, webmerc/merc-spherical, " +
+          "utm, tmerc, lcc, aea)")
+    }
+  }
+
   private val UtmRe = "(?i)epsg:(32[67])(\\d{2})".r
 
-  /** Parse an EPSG code: 4326, 3857, 326xx/327xx (UTM), 2154/3034/3978
-    * (Lambert conformal conic national grids).
+  /** Parse a CRS spec: an EPSG code (4326, 3857, 326xx/327xx UTM, 2154/3034/
+    * 3978 LCC national grids, 5070 Conus Albers, 27700 OSGB, 2056 LV95) or a
+    * raw proj4 parameter string (`+proj=...` — see [[parseProj4]]).
     */
-  def parse(code: String): Crs = code.trim.toLowerCase match {
-    case "epsg:4326" | "4326" => LonLat
-    case "epsg:3857" | "3857" | "epsg:900913" => WebMercator
-    case "epsg:2154" | "2154" => Lambert93
-    case "epsg:3034" | "3034" => LccEurope
-    case "epsg:3978" | "3978" => LccCanada
-    case "epsg:27700" | "27700" => BritishNationalGrid
-    case "epsg:2056" | "2056" => SwissLv95
-    case UtmRe(series, zone) =>
-      val z = zone.toInt
-      require(z >= 1 && z <= 60, s"UTM zone $z out of [1,60]")
-      Utm(z, south = series == "327")
-    case other => throw new IllegalArgumentException(
-      s"unsupported CRS '$other' (supported: EPSG:4326, EPSG:3857, " +
-        "EPSG:326xx/327xx, EPSG:2154/3034/3978, EPSG:27700, EPSG:2056)")
+  def parse(code: String): Crs = {
+    val t = code.trim
+    if (t.startsWith("+")) parseProj4(t)
+    else t.toLowerCase match {
+      case "epsg:4326" | "4326" => LonLat
+      case "epsg:3857" | "3857" | "epsg:900913" => WebMercator
+      case "epsg:2154" | "2154" => Lambert93
+      case "epsg:3034" | "3034" => LccEurope
+      case "epsg:3978" | "3978" => LccCanada
+      case "epsg:5070" | "5070" => ConusAlbers
+      case "epsg:27700" | "27700" => BritishNationalGrid
+      case "epsg:2056" | "2056" => SwissLv95
+      case UtmRe(series, zone) =>
+        val z = zone.toInt
+        require(z >= 1 && z <= 60, s"UTM zone $z out of [1,60]")
+        Utm(z, south = series == "327")
+      case other => throw new IllegalArgumentException(
+        s"unsupported CRS '$other' (supported: EPSG:4326, EPSG:3857, " +
+          "EPSG:326xx/327xx, EPSG:2154/3034/3978, EPSG:5070, EPSG:27700, " +
+          "EPSG:2056, or a raw +proj=... string)")
+    }
   }
 
   /** Point transform `from` -> `to`, routed through lon/lat. */
@@ -362,6 +551,16 @@ object Proj {
       case WebMercator => (TileMath.mercXToLon(x), TileMath.mercYToLat(y))
       case Utm(z, s) => utmToLonLat(x, y, z, s)
       case l: Lcc => l.inverse(x, y)
+      case al: Aea => al.inverse(x, y)
+      case Proj4Crs(proj, pa, pInvF, shift) =>
+        val (lonD, latD) = proj.inverse(x, y)
+        shift match {
+          case None => (lonD, latD)
+          case Some(h) =>
+            val (cx, cy, cz) = geodeticToCart(lonD, latD, pa, pInvF)
+            val (wx, wy, wz) = h(cx, cy, cz)
+            cartToGeodetic(wx, wy, wz, A, 1.0 / F)
+        }
       case BritishNationalGrid =>
         val (lonO, latO) = OsgbTm.inverse(x, y) // OSGB36 geodetic
         val (cx, cy, cz) = geodeticToCart(lonO, latO, AiryA, AiryInvF)
@@ -378,6 +577,16 @@ object Proj {
       case WebMercator => (TileMath.lonToMercX(lon), TileMath.latToMercY(lat))
       case Utm(z, s) => lonLatToUtm(lon, lat, z, s)
       case l: Lcc => l.forward(lon, lat)
+      case al: Aea => al.forward(lon, lat)
+      case Proj4Crs(proj, pa, pInvF, shift) =>
+        shift match {
+          case None => proj.forward(lon, lat)
+          case Some(h) =>
+            val (cx, cy, cz) = geodeticToCart(lon, lat, A, 1.0 / F)
+            val (lx, ly, lz) = h.inverse(cx, cy, cz)
+            val (lonD, latD) = cartToGeodetic(lx, ly, lz, pa, pInvF)
+            proj.forward(lonD, latD)
+        }
       case BritishNationalGrid =>
         val (cx, cy, cz) = geodeticToCart(lon, lat, A, 1.0 / F)
         val (ox, oy, oz) = Wgs84ToOsgb36(cx, cy, cz)

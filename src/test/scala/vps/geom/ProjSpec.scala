@@ -166,6 +166,86 @@ class ProjSpec extends AnyFunSuite {
     assert(Proj.parse("EPSG:2056") === Proj.SwissLv95)
   }
 
+  test("Albers EPSG:5070: grid origin, equal-area Jacobian, parallel scale, round trips") {
+    val al = Proj.ConusAlbers
+    // projection origin maps exactly to (FE, FN)
+    val (ox, oy) = al.forward(-96.0, 23.0)
+    assert(math.abs(ox) < 1e-6 && math.abs(oy) < 1e-6)
+
+    // INDEPENDENT equal-area gate: the Jacobian determinant of (x, y) wrt
+    // (lon, lat), by central finite differences, must equal the ellipsoidal
+    // area element a^2 (1-e^2) cos(phi) / (1 - e^2 sin^2 phi)^2 per radian^2
+    val a = 6378137.0
+    val e2 = {
+      val f = 1.0 / 298.257222101; f * (2 - f)
+    }
+    val h = 1e-5 // degrees
+    for (lon <- Seq(-120.0, -96.0, -75.0); lat <- Seq(25.0, 37.0, 48.0)) {
+      // full Jacobian via central differences (deg -> rad)
+      def d(p: Double, m: Double) = (p - m) / (2 * h) / math.toRadians(1.0)
+      val (xpl, ypl) = al.forward(lon + h, lat); val (xml, yml) = al.forward(lon - h, lat)
+      val (xpf, ypf) = al.forward(lon, lat + h); val (xmf, ymf) = al.forward(lon, lat - h)
+      val det = d(xpl, xml) * d(ypf, ymf) - d(xpf, xmf) * d(ypl, yml)
+      val s = math.sin(math.toRadians(lat))
+      val area = a * a * (1 - e2) * math.cos(math.toRadians(lat)) / math.pow(1 - e2 * s * s, 2)
+      assert(math.abs(math.abs(det) / area - 1.0) < 1e-6,
+        s"area distortion at $lon,$lat: ${math.abs(det) / area}")
+    }
+
+    // scale along the standard parallels is 1 (independent finite difference):
+    // |dx/dlambda| / (a m(phi)) == 1 at lat_1 and lat_2
+    for (lat <- Seq(29.5, 45.5); lon <- Seq(-110.0, -96.0, -80.0)) {
+      val (x1, y1) = al.forward(lon - h, lat); val (x2, y2) = al.forward(lon + h, lat)
+      val dxdl = math.hypot(x2 - x1, y2 - y1) / (2 * h) / math.toRadians(1.0)
+      val s = math.sin(math.toRadians(lat))
+      val mphi = math.cos(math.toRadians(lat)) / math.sqrt(1 - e2 * s * s)
+      assert(math.abs(dxdl / (a * mphi) - 1.0) < 1e-6, s"parallel scale at $lat")
+    }
+
+    // round trips across CONUS, sub-mm
+    for (lon <- Seq(-124.0, -105.3, -96.0, -71.1); lat <- Seq(24.5, 33.7, 41.9, 49.0)) {
+      val (x, y) = Proj.transform(lon, lat, Proj.LonLat, al)
+      val (lon2, lat2) = Proj.transform(x, y, al, Proj.LonLat)
+      assert(math.abs(lon2 - lon) < 1e-8 && math.abs(lat2 - lat) < 1e-8, s"round trip $lon,$lat")
+    }
+    assert(Proj.parse("EPSG:5070") === al)
+  }
+
+  test("proj4 strings parse onto the same engines and agree with the presets") {
+    // aea spelled as proj4 == the EPSG:5070 preset
+    val aea = Proj.parse("+proj=aea +lat_0=23 +lat_1=29.5 +lat_2=45.5 +lon_0=-96 " +
+      "+x_0=0 +y_0=0 +ellps=GRS80 +units=m +no_defs")
+    for (lon <- Seq(-120.0, -84.2); lat <- Seq(28.0, 44.0)) {
+      val (x1, y1) = Proj.transform(lon, lat, Proj.LonLat, aea)
+      val (x2, y2) = Proj.transform(lon, lat, Proj.LonLat, Proj.ConusAlbers)
+      assert(math.abs(x1 - x2) < 1e-9 && math.abs(y1 - y2) < 1e-9)
+    }
+    // lcc spelled as proj4 == Lambert-93
+    val lcc = Proj.parse("+proj=lcc +lat_0=46.5 +lat_1=49 +lat_2=44 +lon_0=3 " +
+      "+x_0=700000 +y_0=6600000 +ellps=GRS80")
+    val (lx, ly) = Proj.transform(2.35, 48.85, Proj.LonLat, lcc)
+    val (px, py) = Proj.transform(2.35, 48.85, Proj.LonLat, Proj.Lambert93)
+    assert(math.abs(lx - px) < 1e-9 && math.abs(ly - py) < 1e-9)
+    // tmerc + towgs84 (official OSGB36 parameters, local->WGS84) == the
+    // built-in British National Grid within a millimetre
+    val bng = Proj.parse("+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 " +
+      "+x_0=400000 +y_0=-100000 +ellps=airy " +
+      "+towgs84=446.448,-125.157,542.060,0.1502,0.2470,0.8421,-20.4894")
+    for (lon <- Seq(-5.2, -1.54, 0.1); lat <- Seq(50.4, 52.66, 57.1)) {
+      val (x1, y1) = Proj.transform(lon, lat, Proj.LonLat, bng)
+      val (x2, y2) = Proj.transform(lon, lat, Proj.LonLat, Proj.BritishNationalGrid)
+      assert(math.hypot(x1 - x2, y1 - y2) < 1e-3, s"proj4 BNG vs preset at $lon,$lat")
+      val (lon2, lat2) = Proj.transform(x1, y1, bng, Proj.LonLat)
+      assert(math.abs(lon2 - lon) < 1e-7 && math.abs(lat2 - lat) < 1e-7)
+    }
+    // utm + longlat spellings
+    assert(Proj.parse("+proj=utm +zone=33 +ellps=WGS84") === Proj.Utm(33, south = false))
+    assert(Proj.parse("+proj=utm +zone=19 +south") === Proj.Utm(19, south = true))
+    assert(Proj.parse("+proj=longlat +datum=WGS84 +no_defs") === Proj.LonLat)
+    intercept[IllegalArgumentException](Proj.parse("+proj=krovak +ellps=bessel"))
+    intercept[IllegalArgumentException](Proj.parse("+proj=utm")) // missing zone
+  }
+
   test("CRS parse + transform composition 3857 <-> UTM routes through 4326") {
     assert(Proj.parse("EPSG:4326") === Proj.LonLat)
     assert(Proj.parse("epsg:3857") === Proj.WebMercator)
