@@ -334,13 +334,16 @@ object SparkEntry {
         .orderBy("digest", "id")
     }),
 
-    // ---- IVF ANN: full probe == exact, so the brute-force oracle applies ----
+    // ---- IVF ANN via the PERSISTED index (build once, search the parquet
+    // index): full probe == exact, so the brute-force oracle applies ----
     "q29_ivf_knn" -> ((s, dir) => {
       implicit val spark = s
       val vecs = t(dir, "embeddings")
       val queries = vecs.where(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding"))
-      VectorSearch.ivfTopK(vecs, queries, k = 3, numCentroids = 8, nProbe = 8)
+      val idx = s"${System.getProperty("java.io.tmpdir")}/vps_ivf_${math.abs(dir.hashCode)}"
+      VectorSearch.buildIndex(vecs, idx, numCentroids = 8)
+      VectorSearch.searchIndex(s, idx, queries, k = 3, nProbe = 8)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
         .orderBy("query_id", "rank")
     }),

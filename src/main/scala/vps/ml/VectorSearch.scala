@@ -304,9 +304,101 @@ object VectorSearch {
     }
   }
 
+  /** Build a PERSISTED IVF index under `indexDir`, so training and assignment
+    * amortize across query batches ([[ivfTopK]] rebuilds per call):
+    * - `indexDir/centroids`: (list_id, centroid) — numCentroids rows,
+    * - `indexDir/lists`: (id, vec) parquet PARTITIONED BY list_id, so a
+    *   [[searchIndex]] probing nProbe of c lists prunes the scan to
+    *   ~nProbe/c of the corpus at the file level (partition pruning, visible
+    *   as PartitionFilters in the plan).
+    */
+  def buildIndex(
+      vectors: DataFrame,
+      indexDir: String,
+      numCentroids: Int = 16,
+      trainIters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      initRounds: Int = 0): Unit = {
+    val spark = vectors.sparkSession
+    val cents = trainCentroids(vectors, numCentroids, trainIters, idCol, vecCol, initRounds)
+    val bc = spark.sparkContext.broadcast(cents)
+    val floatArrayEnc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]()
+
+    spark.createDataset(cents.toIndexedSeq)(Encoders.tuple(Encoders.scalaInt, floatArrayEnc))
+      .toDF("list_id", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+
+    val typedVecs = vectors.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])](Encoders.tuple(Encoders.scalaLong, floatArrayEnc))
+    typedVecs.mapPartitions { rows =>
+      val cs = bc.value
+      rows.map { case (id, v) =>
+        var best = 0; var bestCos = Double.MinValue
+        cs.foreach { case (ci, cv) =>
+          val c = cos(v, cv); if (c > bestCos) { bestCos = c; best = ci }
+        }
+        (best, id, v)
+      }
+    }(Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong, floatArrayEnc))
+      .toDF("list_id", "id", "vec")
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$indexDir/lists")
+  }
+
+  /** Probe a persisted IVF index ([[buildIndex]]): no training, no corpus
+    * scan — centroids load once (numCentroids rows) and only the probed
+    * list partitions are read. Same semantics as [[ivfTopK]] with the same
+    * centroids: at nProbe = numCentroids it is exact.
+    */
+  def searchIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int = 4,
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "embedding"): DataFrame = {
+    val floatArrayEnc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]()
+    val cents: Array[(Int, Array[Float])] = spark.read.parquet(s"$indexDir/centroids")
+      .select(col("list_id"), col("centroid"))
+      .as[(Int, Array[Float])](Encoders.tuple(Encoders.scalaInt, floatArrayEnc))
+      .collect()
+    val bc = spark.sparkContext.broadcast(cents)
+
+    val typedQueries = queries.select(col(queryIdCol).cast("long"), col(queryVecCol))
+      .as[(Long, Array[Float])](Encoders.tuple(Encoders.scalaLong, floatArrayEnc))
+    val probes = typedQueries.mapPartitions { rows =>
+      val cs = bc.value
+      rows.flatMap { case (qid, v) =>
+        cs.map { case (ci, cv) => (cos(v, cv), ci) }
+          .sortBy { case (c, ci) => (-c, ci) }
+          .take(nProbe)
+          .map { case (_, ci) => (ci, qid, v) }
+      }
+    }(Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong, floatArrayEnc))
+      .toDF("list_id", "query_id", "qvec")
+
+    // the query side is broadcast-scale by contract (like knnBroadcast), so
+    // the probed list ids collect cheaply and prune the lists scan statically
+    val probedIds = probes.select(col("list_id")).distinct()
+      .as[Int](Encoders.scalaInt).collect().toSeq
+    val lists = spark.read.parquet(s"$indexDir/lists")
+      .where(col("list_id").isin(probedIds: _*))
+
+    import vps.text.functions.cosine_sim
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    probes.join(lists, Seq("list_id"))
+      .withColumn("cosine", cosine_sim(col("qvec"), col("vec")))
+      .select(col("query_id"), col("id").as("neighbor_id"), col("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** IVF search: assign every vector to its nearest centroid (broadcast,
     * map-side), probe the nProbe nearest lists per query via an equi-join on the
-    * centroid id, exact cosine + top-k inside.
+    * centroid id, exact cosine + top-k inside. Rebuilds the index per call —
+    * use [[buildIndex]]/[[searchIndex]] to amortize training across batches.
     */
   def ivfTopK(
       vectors: DataFrame,

@@ -230,6 +230,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(a.map(_._2.toSeq) === b.map(_._2.toSeq))
   }
 
+  test("persisted IVF index: one build serves many searches; lists scan is partition-pruned") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // literal query vectors, so any corpus access in the search plan would be
+    // the index failing to stand on its own
+    val queries = vecs.where($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+      .toDF("query_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    VectorSearch.buildIndex(vecs, idx, numCentroids = 8, trainIters = 2)
+
+    def run() = VectorSearch.searchIndex(spark, idx, queries, k = 3, nProbe = 8)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val r1 = run()
+    val r2 = run()
+    // full probe == exact: both searches match brute force
+    val truth = VectorSearch.bruteTopK(vecs, queries, k = 3)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(r1 === truth && r2 === truth)
+    // lineage: the search reads ONLY the persisted index — no corpus scan,
+    // hence no retraining anywhere in the plan
+    val search = VectorSearch.searchIndex(spark, idx, queries, k = 3, nProbe = 2)
+    val plan = search.queryExecution.executedPlan.toString
+    assert(plan.contains("lists") && !plan.contains("embeddings.parquet"),
+      s"search must read only the index, plan:\n$plan")
+    // and the lists scan is pruned to the probed partitions
+    assert(plan.contains("PartitionFilters") && plan.contains("list_id"),
+      s"expected a partition-pruned lists scan, plan:\n$plan")
+  }
+
   test("text analysis: lang_id, token_count, fingerprint, quality") {
     assert(TextOps.langId("the cat sat on the mat and it was happy") === "en")
     assert(TextOps.langId("el perro y la casa de los niños en madrid") === "es")
