@@ -63,7 +63,7 @@ object Raster {
     * RasterSpec (same [[burn]] kernel, opposite shuffle shape). Do not use at
     * scale: a hot tile floods one reducer with O(points) rows.
     */
-  private[raster] def rasterizePointShuffle(
+  private[vps] def rasterizePointShuffle(
       input: DataFrame,
       zoom: Int,
       resolution: Int = 256,
