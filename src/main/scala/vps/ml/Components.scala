@@ -24,10 +24,11 @@ import org.apache.spark.sql.functions._
   *   2. edges equi-join the per-node min on `u` — the hot root key is exactly
   *      the skewed-join case AQE's skew-split handles.
   *
-  * Lineage is truncated every round (`localCheckpoint`) so the driver-side
-  * plan stays O(1) deep across iterations; on a multi-executor cluster with
-  * flaky nodes prefer a reliable `spark.sparkContext.setCheckpointDir` +
-  * `checkpoint()` — the loop structure is identical.
+  * Lineage is truncated every round so the driver-side plan stays O(1) deep
+  * across iterations: with `spark.sparkContext.setCheckpointDir` configured
+  * the rounds use RELIABLE `checkpoint()` (executor loss survivable — the
+  * cluster posture); otherwise `localCheckpoint()` (block-manager storage,
+  * fine for a single JVM).
   *
   * Convergence: a round is a no-op exactly when the edge set (canonically
   * oriented big->small, deduped) is unchanged; detected with one aggregate
@@ -58,17 +59,19 @@ object Components {
       aCol: String = "id_a",
       bCol: String = "id_b",
       maxRounds: Int = 50): (DataFrame, Int) = {
-    var edges = canonical(
+    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    var edges = truncate(canonical(
       pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
-        .where(col("u").isNotNull && col("v").isNotNull))
-      .localCheckpoint(true)
+        .where(col("u").isNotNull && col("v").isNotNull)))
 
     var fp = fingerprint(edges)
     var rounds = 0
     var converged = fp._1 == 0L // empty input: already done
     while (!converged && rounds < maxRounds) {
       val prev = edges
-      edges = canonical(smallStar(largeStar(edges))).localCheckpoint(true)
+      edges = truncate(canonical(smallStar(largeStar(edges))))
       rounds += 1
       val nextFp = fingerprint(edges)
       converged = nextFp == fp

@@ -81,6 +81,17 @@ object ExplainCheck {
     println(s"[check] ${if (nHash == 1) "PASS" else s"MISS ($nHash)"}: " +
       "exactly one hash Exchange (the tile key; corpus-synthesis round-robin spread excluded)")
 
+    // 7) rasterize: the exchange carries partial GRIDS (gridburn partial
+    // aggregation appears BELOW the exchange), and there is exactly one
+    val raster = vps.raster.Raster.rasterize(pts, zoom = 6, resolution = 16).toDF()
+    raster.collect()
+    val rPlan = raster.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    val rHash = "Exchange hashpartitioning".r.findAllIn(rPlan).length
+    val partialBurn = rPlan.contains("partial_gridburn")
+    println(s"\n========== rasterize grid-carrying exchange ==========")
+    println(s"[check] ${if (rHash == 1) "PASS" else s"MISS ($rHash)"}: exactly one hash Exchange (the tile key)")
+    println(s"[check] ${if (partialBurn) "PASS" else "MISS"}: partial_gridburn below the exchange (map-side grids)")
+
     spark.stop()
   }
 }
