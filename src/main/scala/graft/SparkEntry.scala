@@ -344,7 +344,12 @@ object SparkEntry {
       val queries = vecs.where(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding"))
       def sig(f: java.io.File): Long =
-        if (f.isDirectory) f.listFiles().map(sig).foldLeft(f.getName.hashCode.toLong)(_ * 31 + _)
+        if (f.isDirectory)
+          // sort: listFiles order is filesystem-dependent and would otherwise
+          // change the signature (and defeat cross-host reuse); null on an IO
+          // race degrades to a name-only signature instead of an NPE
+          Option(f.listFiles()).map(_.sortBy(_.getName).toSeq).getOrElse(Seq.empty)
+            .map(sig).foldLeft(f.getName.hashCode.toLong)(_ * 31 + _)
         else f.getName.hashCode.toLong * 31 + f.length * 31 + f.lastModified
       val idx = s"${System.getProperty("java.io.tmpdir")}/vps_ivf_" +
         java.lang.Long.toHexString(sig(new java.io.File(s"$dir/embeddings.parquet")))
@@ -728,15 +733,21 @@ object SparkEntry {
            |  ON cx >= lon0 AND cx <= lon0 + 15 AND cy >= lat0 AND cy <= lat0 + 12
            |GROUP BY 1 ORDER BY 1""".stripMargin,
       "q35_components" ->
+        // gaps-and-islands: consecutive present ids within a 16-block share
+        // (id - row_number), so the component is the island minimum — this
+        // mirrors the Spark side's partner-must-exist pair construction even
+        // if doc_id ever has gaps; islands of size 1 have no pairs and are
+        // excluded on both sides
         """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
-          |pairs AS (
-          |  SELECT a.id AS id_a, b.id AS id_b
-          |  FROM ids a JOIN ids b ON b.id = a.id + 1 AND a.id % 16 != 15)
-          |SELECT id,
-          |  (SELECT min(i2.id) FROM ids i2 WHERE i2.id // 16 = ids.id // 16) AS component
-          |FROM ids
-          |WHERE id IN (SELECT id_a FROM pairs) OR id IN (SELECT id_b FROM pairs)
-          |ORDER BY id""".stripMargin,
+          |isl AS (
+          |  SELECT id, id - row_number() OVER (PARTITION BY id // 16 ORDER BY id) AS grp
+          |  FROM ids),
+          |comp AS (
+          |  SELECT id,
+          |    min(id) OVER (PARTITION BY id // 16, grp) AS component,
+          |    count(*) OVER (PARTITION BY id // 16, grp) AS n
+          |  FROM isl)
+          |SELECT id, component FROM comp WHERE n > 1 ORDER BY id""".stripMargin,
       "q36_neardup_members" ->
         """WITH corpus AS (
           |  SELECT doc_id AS id, text FROM documents

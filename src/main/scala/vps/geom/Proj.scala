@@ -57,7 +57,7 @@ object Proj {
     * are in the grid's own datum; datum shifts are layered on top
     * ([[Helmert]]).
     */
-  final class KruegerTm(a: Double, invF: Double, k0: Double,
+  final case class KruegerTm(a: Double, invF: Double, k0: Double,
       lat0: Double, lon0: Double, fe: Double, fn: Double) extends PlaneProjection {
     private val f = 1.0 / invF
     private val n = f / (2.0 - f)
@@ -289,7 +289,8 @@ object Proj {
   final case class Lcc(
       lat0: Double, lat1: Double, lat2: Double, lon0: Double,
       fe: Double, fn: Double,
-      a: Double = 6378137.0, invF: Double = 298.257222101) extends Crs with PlaneProjection {
+      a: Double = 6378137.0, invF: Double = 298.257222101,
+      k0: Double = 1.0) extends Crs with PlaneProjection {
     private val f = 1.0 / invF
     private val e = math.sqrt(f * (2.0 - f))
     private def m(phi: Double): Double = {
@@ -308,17 +309,22 @@ object Proj {
     private val nC =
       if (math.abs(phi1 - phi2) < 1e-12) math.sin(phi1)
       else (math.log(m(phi1)) - math.log(m(phi2))) / (math.log(tOf(phi1)) - math.log(tOf(phi2)))
+    require(math.abs(nC) > 1e-12,
+      s"degenerate LCC cone constant (standard parallels $lat1/$lat2 symmetric about the equator)")
     private val fC = m(phi1) / (nC * math.pow(tOf(phi1), nC))
-    private val rho0 = a * fC * math.pow(tOf(phi0), nC)
+    // the 1SP scale factor multiplies every radius — fold it into the radius
+    // used for rho (NOT into scaleAt's denominator, which needs the true a)
+    private val aK = a * k0
+    private val rho0 = aK * fC * math.pow(tOf(phi0), nC)
 
-    /** point scale factor at latitude `lat` (1.0 on the standard parallels) */
+    /** point scale factor at latitude `lat` (k0 on the standard parallels) */
     def scaleAt(lat: Double): Double = {
       val phi = math.toRadians(lat)
-      nC * a * fC * math.pow(tOf(phi), nC) / (a * m(phi))
+      nC * aK * fC * math.pow(tOf(phi), nC) / (a * m(phi))
     }
 
     def forward(lon: Double, lat: Double): (Double, Double) = {
-      val rho = a * fC * math.pow(tOf(math.toRadians(lat)), nC)
+      val rho = aK * fC * math.pow(tOf(math.toRadians(lat)), nC)
       val theta = nC * (math.toRadians(lon) - math.toRadians(lon0))
       (fe + rho * math.sin(theta), fn + rho0 - rho * math.cos(theta))
     }
@@ -328,7 +334,7 @@ object Proj {
       val dx = x - fe
       val dy = rho0 - (y - fn)
       val rho = sgn * math.sqrt(dx * dx + dy * dy)
-      val t = math.pow(rho / (a * fC), 1.0 / nC)
+      val t = math.pow(rho / (aK * fC), 1.0 / nC)
       val theta = math.atan2(sgn * dx, sgn * dy)
       val lam = theta / nC + math.toRadians(lon0)
       var phi = math.Pi / 2.0 - 2.0 * math.atan(t)
@@ -387,6 +393,8 @@ object Proj {
         val m1 = m(phi1); val m2 = m(phi2)
         (m1 * m1 - m2 * m2) / (q(phi2) - q(phi1))
       }
+    require(math.abs(nC) > 1e-12,
+      s"degenerate Albers cone constant (standard parallels $lat1/$lat2 symmetric about the equator)")
     private val bigC = m(phi1) * m(phi1) + nC * q(phi1)
     private def rho(phi: Double): Double = a * math.sqrt(bigC - nC * q(phi)) / nC
     private val rho0 = rho(phi0)
@@ -494,17 +502,25 @@ object Proj {
         val z = kv.getOrElse("zone",
           throw new IllegalArgumentException("+proj=utm needs +zone")).toInt
         require(z >= 1 && z <= 60, s"UTM zone $z out of [1,60]")
-        Utm(z, south = kv.contains("south"))
+        val south = kv.contains("south")
+        // the bare Utm engine is WGS84: a non-WGS84 ellipsoid or a datum
+        // shift (ED50-style UTM codes) must route through the parameterized
+        // path or coordinates would silently be ~100 m off
+        if (toWgs.isEmpty && (ea, eInvF) == Ellipsoids("wgs84")) Utm(z, south)
+        else Proj4Crs(KruegerTm(ea, eInvF, 0.9996,
+          lat0 = 0.0, lon0 = z * 6.0 - 183.0,
+          fe = 500000.0, fn = if (south) 10000000.0 else 0.0), ea, eInvF, toWgs)
       case "tmerc" =>
-        Proj4Crs(new KruegerTm(ea, eInvF, k0,
+        Proj4Crs(KruegerTm(ea, eInvF, k0,
           lat0 = num("lat_0", 0), lon0 = num("lon_0", 0),
           fe = num("x_0", 0), fn = num("y_0", 0)), ea, eInvF, toWgs)
       case "lcc" =>
         val lat1 = num("lat_1", num("lat_0", 0))
         Proj4Crs(Lcc(lat0 = num("lat_0", lat1), lat1 = lat1, lat2 = num("lat_2", lat1),
           lon0 = num("lon_0", 0), fe = num("x_0", 0), fn = num("y_0", 0),
-          a = ea, invF = eInvF), ea, eInvF, toWgs)
+          a = ea, invF = eInvF, k0 = k0), ea, eInvF, toWgs)
       case "aea" =>
+        require(k0 == 1.0, "+proj=aea does not take a scale factor (+k/+k_0)")
         val lat1 = num("lat_1", num("lat_0", 0))
         Proj4Crs(Aea(lat0 = num("lat_0", lat1), lat1 = lat1, lat2 = num("lat_2", lat1),
           lon0 = num("lon_0", 0), fe = num("x_0", 0), fn = num("y_0", 0),

@@ -142,14 +142,23 @@ object SpatialJoins {
     val pls = polygons
       .select(col(polyIdCol).as("poly_id"), col(polyCol).as("_poly_geom"))
       .withColumn("_cell", explode(cells_of(col("_poly_geom"), level)))
+    // single refine predicate: for the point probe side, intersects ==
+    // contains-or-boundary (same semantics as the broadcast variant's
+    // PreparedGeometry.intersects). With an integral poly id the refine is
+    // keyed — the prepared-geometry cache probes by the long id in O(1) per
+    // pair instead of re-hashing the polygon WKB (a 10k-vertex country probed
+    // by 10^6 points prepares once per task). Non-numeric ids keep the
+    // content-hash cache (a lossy cast would silently empty the join).
+    val keyed = polygons.schema(polyIdCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val refine =
+      if (keyed) st_intersects_keyed(col("poly_id"), col("_poly_geom"), col(pointCol))
+      else st_intersects(col("_poly_geom"), col(pointCol))
     pts.join(pls, Seq("_cell"))
-      // single refine predicate: for the point probe side, intersects ==
-      // contains-or-boundary (same semantics as the broadcast variant's
-      // PreparedGeometry.intersects). Keyed by poly_id so the prepared-geometry
-      // cache probe is O(1) per pair instead of O(polygon bytes) — a
-      // 10k-vertex country probed by 10^6 points prepares once per task and
-      // never re-hashes its WKB per candidate.
-      .where(st_intersects_keyed(col("poly_id"), col("_poly_geom"), col(pointCol)))
+      .where(refine)
       .drop("_cell", "_poly_geom")
   }
 

@@ -59,9 +59,26 @@ object Components {
       aCol: String = "id_a",
       bCol: String = "id_b",
       maxRounds: Int = 50): (DataFrame, Int) = {
-    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    val sc = pairs.sparkSession.sparkContext
+    val reliable = sc.getCheckpointDir.isDefined
     def truncate(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    // a superseded round's checkpoint files are dead the moment the next
+    // round is materialized — delete them, or O(rounds) full edge-list copies
+    // accumulate on checkpoint storage (the cleaner does not remove them by
+    // default). The FINAL round's checkpoint stays: the returned membership
+    // frame still reads from it.
+    def release(df: DataFrame): Unit = {
+      df.unpersist()
+      // Dataset.checkpoint wraps the checkpointed internal RDD in a
+      // LogicalRDD — that RDD (not a derived df.rdd) holds the file location
+      if (reliable) df.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.flatMap(_.getCheckpointFile).foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+      }
+    }
     var edges = truncate(canonical(
       pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
         .where(col("u").isNotNull && col("v").isNotNull)))
@@ -76,7 +93,7 @@ object Components {
       val nextFp = fingerprint(edges)
       converged = nextFp == fp
       fp = nextFp
-      prev.unpersist()
+      release(prev)
     }
     require(converged, s"connectedComponents did not converge in $maxRounds rounds " +
       "(rounds grow ~log2 of the longest chain; raise maxRounds)")

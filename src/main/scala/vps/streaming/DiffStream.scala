@@ -92,7 +92,11 @@ object Diffs {
     StructField("minor_version", BooleanType, nullable = false)))
 
   private def wkt(lonE4: Long, latE4: Long): String =
-    f"POINT (${lonE4 / 10000.0}%.4f ${latE4 / 10000.0}%.4f)"
+    // Locale.ROOT: the scala f-interpolator uses the JVM default locale, and
+    // a comma-decimal locale would emit invalid WKT and non-deterministic
+    // feed bytes across hosts
+    String.format(java.util.Locale.ROOT, "POINT (%.4f %.4f)",
+      Double.box(lonE4 / 10000.0), Double.box(latE4 / 10000.0))
 
   /** THE generator — a pure function of (sequence, row index) in integer
     * arithmetic so a SQL oracle can recompute every field.

@@ -45,7 +45,8 @@ object PipRefineProbe {
       val cy = (i * 61 % 150) - 75.0 + 6.0
       val ring = (0 to vertices).map { v =>
         val a = 2 * math.Pi * (v % vertices) / vertices
-        f"${cx + 8.0 * math.cos(a)}%.6f ${cy + 5.0 * math.sin(a)}%.6f"
+        String.format(java.util.Locale.ROOT, "%.6f %.6f", // comma-decimal locales break WKT
+          Double.box(cx + 8.0 * math.cos(a)), Double.box(cy + 5.0 * math.sin(a)))
       }.mkString(", ")
       (i.toLong, s"POLYGON (($ring))")
     }

@@ -244,6 +244,42 @@ class ProjSpec extends AnyFunSuite {
     assert(Proj.parse("+proj=longlat +datum=WGS84 +no_defs") === Proj.LonLat)
     intercept[IllegalArgumentException](Proj.parse("+proj=krovak +ellps=bessel"))
     intercept[IllegalArgumentException](Proj.parse("+proj=utm")) // missing zone
+
+    // non-WGS84 UTM (ED50-style) must NOT silently use the WGS84 engine:
+    // it routes through the parameterized path, applies the datum shift,
+    // and differs from plain WGS84 UTM by the expected ~100-200 m
+    val ed50 = Proj.parse("+proj=utm +zone=31 +ellps=intl +towgs84=-87,-98,-121")
+    assert(ed50 !== Proj.Utm(31, south = false))
+    val (we, wn) = Proj.transform(3.0, 48.0, Proj.LonLat, Proj.Utm(31, south = false))
+    val (ee, en) = Proj.transform(3.0, 48.0, Proj.LonLat, ed50)
+    val shift = math.hypot(ee - we, en - wn)
+    assert(shift > 50 && shift < 400, s"ED50 offset should be ~100-200 m, was $shift")
+    val (lonB, latB) = Proj.transform(ee, en, ed50, Proj.LonLat)
+    assert(math.abs(lonB - 3.0) < 1e-6 && math.abs(latB - 48.0) < 1e-6)
+
+    // 1SP LCC with a scale factor: k_0 must reach the projection — scale at
+    // the natural-origin latitude equals k0 (finite-difference independent)
+    val jam = Proj.parse("+proj=lcc +lat_1=18 +lat_0=18 +lon_0=-77 +k_0=0.9996 " +
+      "+x_0=250000 +y_0=150000 +ellps=clrk66").asInstanceOf[Proj.Proj4Crs]
+    val lccJam = jam.proj.asInstanceOf[Proj.Lcc]
+    assert(math.abs(lccJam.scaleAt(18.0) - 0.9996) < 1e-9)
+    val (jx, jy) = lccJam.forward(-77.0, 18.0)
+    assert(math.abs(jx - 250000.0) < 1e-6 && math.abs(jy - 150000.0) < 1e-6)
+    val (jlon, jlat) = lccJam.inverse(jx + 10000, jy - 20000)
+    val (jx2, jy2) = lccJam.forward(jlon, jlat)
+    assert(math.abs(jx2 - (jx + 10000)) < 1e-6 && math.abs(jy2 - (jy - 20000)) < 1e-6)
+
+    // degenerate cone constants are rejected loudly, not NaN'd silently
+    intercept[IllegalArgumentException](Proj.parse("+proj=aea +lon_0=-96 +ellps=GRS80"))
+    intercept[IllegalArgumentException](Proj.Aea(0, 29.5, -29.5, -96, 0, 0))
+    intercept[IllegalArgumentException](Proj.Lcc(0, 30, -30, 0, 0, 0))
+
+    // identity short-circuit works for proj4 CRSs (structural equality incl.
+    // the tmerc engine)
+    assert(Proj.parse("+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 +x_0=400000 " +
+      "+y_0=-100000 +ellps=airy") ===
+      Proj.parse("+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 +x_0=400000 " +
+        "+y_0=-100000 +ellps=airy"))
   }
 
   test("CRS parse + transform composition 3857 <-> UTM routes through 4326") {

@@ -72,6 +72,18 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(joinWith("POLYGON ((50 50, 60 50, 60 60, 50 60, 50 50))") === Set(2L))
   }
 
+  test("pipCellJoin with non-numeric poly ids falls back to the content-hash refine") {
+    val pts = Seq((1L, 5.0, 5.0), (2L, 55.0, 55.0)).toDF("id", "lon", "lat")
+      .select($"id", st_point($"lon", $"lat").as("geom"))
+    val polys = Seq(("US", "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),
+      ("CA", "POLYGON ((50 50, 60 50, 60 60, 50 60, 50 50))"))
+      .toDF("poly_id", "wkt")
+      .select($"poly_id", st_geomFromWKT($"wkt").as("geom"))
+    val got = SpatialJoins.pipCellJoin(pts, polys, level = 3)
+      .select($"id", $"poly_id").as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "US"), (2L, "CA")))
+  }
+
   test("knnBroadcast matches brute-force top-k") {
     val queries = Seq((0L, 10.0, 20.0), (1L, -120.0, -60.0), (2L, 179.0, 79.0))
       .toDF("query_id", "lon", "lat")

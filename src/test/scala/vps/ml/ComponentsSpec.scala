@@ -43,6 +43,30 @@ class ComponentsSpec extends AnyFunSuite {
     assert(rounds <= 16, s"expected O(log n) convergence, took $rounds rounds")
   }
 
+  test("reliable checkpointing: same result, superseded round files deleted") {
+    val ckpt = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckpt)
+    try {
+      def perm(i: Int): Long = ((i.toLong * 48271) % 65537) * 3 + 1
+      val pairs = (0 until 255).map(i => (perm(i), perm(i + 1)))
+      val (members, rounds) =
+        Components.connectedComponentsWithStats(pairs.toDF("id_a", "id_b"))
+      val rows = members.as[(Long, Long)].collect()
+      val expectedMin = (0 until 256).map(perm).min
+      assert(rows.length === 256 && rows.forall(_._2 == expectedMin))
+      // superseded rounds' checkpoints were deleted: only the final round's
+      // rdd-* dir (the one the membership frame reads) may remain
+      val rddDirs = new java.io.File(ckpt).listFiles()
+        .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+        .filter(_.getName.startsWith("rdd-"))
+      assert(rddDirs.length <= 1,
+        s"expected <= 1 surviving checkpoint after $rounds rounds, found ${rddDirs.length}")
+    } finally {
+      // restore the no-checkpoint default for the shared session
+      spark.sparkContext.setCheckpointDir(null)
+    }
+  }
+
   test("near-dup membership groups a transitive text chain A~B~C with A!~C") {
     // Three texts over distinctive word blocks: A=[0..6], B=[1..7], C=[2..8].
     // Adjacent overlap 6/8 blocks (jaccard ~0.6), endpoints 5/9 (~0.45):
