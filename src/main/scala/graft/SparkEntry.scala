@@ -456,6 +456,19 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // ---- reprojection (F22) through the driver gate: lon/lat -> web
+    // mercator via st_reproject, centimeter-rounded; the oracle recomputes
+    // the closed forms (same arithmetic order as TileMath) ----
+    "q38_reproject" -> ((s, dir) => {
+      geoPoints(s, dir)
+        .select(col("doc_id"), col("span_offset"),
+          vps.sql.functions.st_reproject(col("geom"), "EPSG:4326", "EPSG:3857").as("g"))
+        .select(col("doc_id"), col("span_offset"),
+          round(st_x(col("g")) * 100).cast("long").as("mx_e2"),
+          round(st_y(col("g")) * 100).cast("long").as("my_e2"))
+        .orderBy("doc_id", "span_offset")
+    }),
+
     // ---- reverse geocode (broadcast pip + per-row region names) ----
     "q30_geocode" -> ((s, dir) => {
       val pts = geoPoints(s, dir)
@@ -774,6 +787,11 @@ object SparkEntry {
           |       WHEN i % 11 != 0 AND i % 3 = 0 THEN CAST((i + 1) % 10 AS VARCHAR)
           |       ELSE CAST(i % 10 AS VARCHAR) END AS prev_tag_v
           |FROM range(2000) t(i) ORDER BY id""".stripMargin,
+      "q38_reproject" ->
+        s"""SELECT sdoc_id AS doc_id, CAST(span_offset AS INT) AS span_offset,
+           |  CAST(round(lon / 180.0 * 20037508.342789244 * 100) AS BIGINT) AS mx_e2,
+           |  CAST(round(ln(tan((90.0 + lat) * pi() / 360.0)) * 6378137.0 * 100) AS BIGINT) AS my_e2
+           |FROM ($geoSpansSql) ORDER BY doc_id, span_offset""".stripMargin,
       "q30_geocode" ->
         s"""WITH pts AS (SELECT id * 10 + span_offset AS pt_id, lon, lat FROM ($geoSpansSql)),
            | polys AS (
