@@ -43,6 +43,20 @@ class ComponentsSpec extends AnyFunSuite {
     assert(rounds <= 16, s"expected O(log n) convergence, took $rounds rounds")
   }
 
+  test("hot-root skew: a 200k-leaf star resolves without collected neighbor lists") {
+    // the root's degree equals the component size — the case that breaks
+    // collect_list-style CC implementations; ours only ever reduces min(v)
+    // per node and joins, so this must complete quickly and exactly
+    val n = 200000
+    val hub = 7L
+    val pairs = spark.range(0, n).toDF("i")
+      .select(($"i" * 2 + 10).as("id_a"), lit(hub).as("id_b"))
+    val (members, rounds) = Components.connectedComponentsWithStats(pairs)
+    assert(members.count() === n + 1L)
+    assert(members.where($"component" =!= hub).count() === 0)
+    assert(rounds <= 4, s"a star is already (almost) converged, took $rounds rounds")
+  }
+
   test("reliable checkpointing: same result, superseded round files deleted") {
     val ckpt = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
     spark.sparkContext.setCheckpointDir(ckpt)
