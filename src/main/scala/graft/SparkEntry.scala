@@ -456,6 +456,16 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // ---- dirty-tile detection over the diff feed: a changed feature
+    // dirties its current AND previous tiles (moved/deleted features must
+    // vanish from their old tile) — the per-batch re-render list ----
+    "q39_dirty_tiles" -> ((s, dir) => {
+      vps.streaming.DirtyTiles.fromDiffs(
+        vps.streaming.Diffs.frame(s, sequences = 20, rowsPerSeq = 100), zoom = 6)
+        .select(col("x"), col("y"), col("n_changes"))
+        .orderBy("x", "y")
+    }),
+
     // ---- reprojection (F22) through the driver gate: lon/lat -> web
     // mercator via st_reproject, centimeter-rounded; the oracle recomputes
     // the closed forms (same arithmetic order as TileMath) ----
@@ -787,6 +797,19 @@ object SparkEntry {
           |       WHEN i % 11 != 0 AND i % 3 = 0 THEN CAST((i + 1) % 10 AS VARCHAR)
           |       ELSE CAST(i % 10 AS VARCHAR) END AS prev_tag_v
           |FROM range(2000) t(i) ORDER BY id""".stripMargin,
+      "q39_dirty_tiles" -> {
+        val lon = "CAST(i * 9973 % 3600000 - 1800000 AS DOUBLE) / 10000.0"
+        val plon = "CAST((i * 9973 + 500) % 3600000 - 1800000 AS DOUBLE) / 10000.0"
+        val lat = "CAST(i * 6151 % 1600000 - 800000 AS DOUBLE) / 10000.0"
+        s"""WITH touched AS (
+           |  SELECT ${tileXSql(lon, 6)} AS x, ${tileYSql(lat, 6)} AS y
+           |  FROM range(2000) t(i)
+           |  UNION ALL
+           |  SELECT ${tileXSql(plon, 6)}, ${tileYSql(lat, 6)}
+           |  FROM range(2000) t(i) WHERE i % 7 != 0)
+           |SELECT x, y, CAST(count(*) AS BIGINT) AS n_changes
+           |FROM touched GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      },
       "q38_reproject" ->
         s"""SELECT sdoc_id AS doc_id, CAST(span_offset AS INT) AS span_offset,
            |  CAST(round(lon / 180.0 * 20037508.342789244 * 100) AS BIGINT) AS mx_e2,

@@ -1,0 +1,32 @@
+package vps.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import vps.sql.functions._
+
+/** The diff-consuming operator a tile service runs on every replication
+  * batch: which tiles must be re-rendered. A changed feature dirties the
+  * tiles its CURRENT geometry touches AND the tiles its PREVIOUS geometry
+  * touched (a moved or deleted feature must disappear from its old tile) —
+  * exactly what the augmented-diff feed's prev/current pair schema exists
+  * for (reference `model/AugmentedDiff.scala:7-28`).
+  *
+  * Pure relational program (explode tile keys -> count per tile), so it runs
+  * identically over [[Diffs.frame]] and the micro-batch stream (update or
+  * complete output mode); the only exchange is the final per-tile count.
+  */
+object DirtyTiles {
+
+  /** (x, y, n_changes) at `zoom` for a diff batch/stream. */
+  def fromDiffs(diffs: DataFrame, zoom: Int): DataFrame = {
+    val cur = diffs
+      .select(explode(tile_keys(st_geomFromWKT(col("geom_wkt")), zoom)).as("k"))
+    val prev = diffs
+      .where(col("prev_geom_wkt").isNotNull)
+      .select(explode(tile_keys(st_geomFromWKT(col("prev_geom_wkt")), zoom)).as("k"))
+    cur.unionAll(prev)
+      .select(col("k.x").as("x"), col("k.y").as("y"))
+      .groupBy("x", "y")
+      .agg(count(lit(1)).as("n_changes"))
+  }
+}

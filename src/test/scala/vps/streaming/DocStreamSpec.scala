@@ -134,6 +134,31 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dirty tiles from the diff stream equal the batch mirror; prev tiles included") {
+    val zoom = 6
+    val batch = DirtyTiles.fromDiffs(Diffs.frame(spark, 5, 40), zoom)
+      .as[(Int, Int, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    // a moved feature dirties BOTH tiles: total changes = creates (1 tile)
+    // + edits (2 tiles, possibly the same one twice)
+    val n = 5 * 40
+    val creates = (0 until n).count(_ % 7 == 0)
+    assert(batch.toSeq.map(_._3).sum === (creates + 2L * (n - creates)))
+
+    val q = DirtyTiles.fromDiffs(
+      spark.readStream.format("augmented-diffs")
+        .option("head", 5).option("batch_size", 2).option("rows_per_sequence", 40)
+        .load(), zoom)
+      .writeStream.format("memory").queryName("dirty").outputMode("complete")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("dirty").as[(Int, Int, Long)].collect().toSet
+      assert(streamed === batch, "streamed dirty-tile counts must equal the batch mirror")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState: per-user running totals carry across micro-batches") {
     val q = ChangesetSessions.userActivity(
       spark.readStream.format("changesets")
