@@ -29,4 +29,25 @@ object DirtyTiles {
       .groupBy("x", "y")
       .agg(count(lit(1)).as("n_changes"))
   }
+
+  /** Incremental tile maintenance: re-render, from the current `snapshot`
+    * feature table, ONLY the tiles a diff batch dirtied — at planet scale a
+    * replication batch touches a bounded tile set, so this replaces a world
+    * re-render with a dirty-subset render whose tiles are byte-identical to
+    * a full [[vps.tiling.TilePipeline.tileZoom]] of the snapshot.
+    * `diffs` must be a bounded batch (e.g. one micro-batch / one
+    * replication sequence window): its dirty-key set is driver-held.
+    */
+  def refreshTiles(
+      snapshot: DataFrame,
+      diffs: DataFrame,
+      zoom: Int,
+      opts: vps.tiling.TilePipeline.Options = vps.tiling.TilePipeline.Options())
+      : org.apache.spark.sql.Dataset[vps.tiling.TileRow] = {
+    val spark = snapshot.sparkSession
+    import spark.implicits._
+    val dirty = fromDiffs(diffs, zoom)
+      .select(col("x"), col("y")).as[(Int, Int)].collect().toSet
+    vps.tiling.TilePipeline.tileZoomSubset(snapshot, zoom, dirty, opts)
+  }
 }

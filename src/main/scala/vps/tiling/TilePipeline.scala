@@ -109,10 +109,39 @@ object TilePipeline {
   /** Tile one zoom level. Input: (id: long, geom: GeometryUDT) [+ ignored extra
     * columns]. Deterministic output: per tile, features sorted by id.
     */
-  def tileZoom(input: DataFrame, zoom: Int, opts: Options = Options()): Dataset[TileRow] = {
-    val spark = input.sparkSession
-    import spark.implicits._
+  def tileZoom(input: DataFrame, zoom: Int, opts: Options = Options()): Dataset[TileRow] =
+    tileZoomFiltered(input, zoom, opts, None)
 
+  /** Re-render ONLY the given tile keys — the incremental-maintenance entry
+    * point (pair with `DirtyTiles.fromDiffs`: one replication batch touches a
+    * bounded tile set, so refreshing the dirty subset replaces a world
+    * re-render). Features are pruned BEFORE simplify/clip with a packed-key
+    * overlap test on the original geometry's keys (a superset of the
+    * simplified keys), and exploded keys are filtered exactly, so clean
+    * tiles never reach the encoder. Output tiles are byte-identical to the
+    * corresponding [[tileZoom]] tiles. `keys` is driver-held by contract
+    * (bounded like a broadcast side).
+    */
+  def tileZoomSubset(
+      input: DataFrame,
+      zoom: Int,
+      keys: Set[(Int, Int)],
+      opts: Options = Options()): Dataset[TileRow] = {
+    require(keys.nonEmpty, "tileZoomSubset: empty key subset")
+    val packed = keys.map { case (x, y) => x.toLong * 4294967296L + y }
+    val packKey = (k: org.apache.spark.sql.Column) =>
+      k.getField("x").cast("long") * lit(4294967296L) + k.getField("y").cast("long")
+    val pre = input.where(arrays_overlap(
+      transform(tile_keys(col("geom"), zoom), packKey),
+      lit(packed.toArray)))
+    tileZoomFiltered(pre, zoom, opts, Some(packed))
+  }
+
+  private def tileZoomFiltered(
+      input: DataFrame,
+      zoom: Int,
+      opts: Options,
+      subset: Option[Set[Long]]): Dataset[TileRow] = {
     val simplified =
       if (opts.simplify)
         input.withColumn("geom",
@@ -123,10 +152,15 @@ object TilePipeline {
     val layerExpr = opts.layerColumn
       .map(c => col(c).cast("string"))
       .getOrElse(lit(null).cast("string"))
-    val exploded = simplified
+    val exploded0 = simplified
       .select(col("id").cast("long").as("id"), layerExpr.as("layer"), col("geom"),
         explode(tile_keys(col("geom"), zoom)).as("k"))
       .select(col("id"), col("layer"), col("geom"), col("k.x").as("x"), col("k.y").as("y"))
+    val exploded = subset match {
+      case Some(p) =>
+        exploded0.where((col("x").cast("long") * 4294967296L + col("y")).isin(p.toSeq: _*))
+      case None => exploded0
+    }
     packAndEncode(exploded, zoom, opts)
   }
 

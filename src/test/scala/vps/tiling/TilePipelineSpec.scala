@@ -200,6 +200,36 @@ class TilePipelineSpec extends AnyFunSuite {
     assert(after !== before, "changed tile content under an identical key set must rewrite")
   }
 
+  test("tileZoomSubset: dirty-subset render is byte-identical to the full render") {
+    val zoom = 5
+    val full = TilePipeline.tileZoom(geoms, zoom).collect()
+      .map(t => (t.x, t.y) -> (t.mvt.toSeq, t.features)).toMap
+    assert(full.size > 10)
+    // pick a third of the tiles as the "dirty" set
+    val dirty = full.keySet.toSeq.sortBy(identity).zipWithIndex
+      .collect { case (k, i) if i % 3 == 0 => k }.toSet
+    val sub = TilePipeline.tileZoomSubset(geoms, zoom, dirty).collect()
+      .map(t => (t.x, t.y) -> (t.mvt.toSeq, t.features)).toMap
+    assert(sub.keySet === dirty, "exactly the requested tiles are rendered")
+    dirty.foreach { k => assert(sub(k) === full(k), s"tile $k must be byte-identical") }
+  }
+
+  test("incremental refresh from a diff batch renders only the dirtied tiles") {
+    val zoom = 5
+    // snapshot = the geo points; diff batch = the deterministic feed, whose
+    // dirty footprint is a strict subset of the world
+    val diffs = vps.streaming.Diffs.frame(spark, 2, 30)
+    val out = vps.streaming.DirtyTiles.refreshTiles(geoms, diffs, zoom).collect()
+    val dirty = vps.streaming.DirtyTiles.fromDiffs(diffs, zoom)
+      .select($"x", $"y").as[(Int, Int)].collect().toSet
+    val full = TilePipeline.tileZoom(geoms, zoom).collect()
+      .map(t => (t.x, t.y) -> t.mvt.toSeq).toMap
+    assert(out.nonEmpty)
+    // rendered keys = dirty tiles that actually hold snapshot features
+    assert(out.map(t => (t.x, t.y)).toSet === dirty.intersect(full.keySet))
+    out.foreach(t => assert(t.mvt.toSeq === full((t.x, t.y))))
+  }
+
   test("pyramidRekey keeps extra input columns visible to the reduce hook") {
     // geoms ids are doc_id*10 + offset (odd), so id % 4 is always odd {1, 3}
     val input = geoms.withColumn("importance", ($"id" % 4).cast("int"))
