@@ -59,8 +59,34 @@ object Components {
       aCol: String = "id_a",
       bCol: String = "id_b",
       maxRounds: Int = 50): (DataFrame, Int) = {
-    val sc = pairs.sparkSession.sparkContext
+    val spark = pairs.sparkSession
+    val sc = spark.sparkContext
     val reliable = sc.getCheckpointDir.isDefined
+
+    // Edge rows are 16 bytes, so AQE's byte-based coalescing funnels the
+    // per-round joins/aggregations into a handful of partitions at the 64 MB
+    // default advisory size (measured 1.4x slower at 19M edges). Scope a
+    // smaller advisory size to this loop and restore the caller's setting.
+    val advisoryKey = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val prevAdvisory = spark.conf.getOption(advisoryKey)
+    spark.conf.set(advisoryKey, "8m")
+    try {
+      runStars(pairs, aCol, bCol, maxRounds, reliable)
+    } finally {
+      prevAdvisory match {
+        case Some(v) => spark.conf.set(advisoryKey, v)
+        case None => spark.conf.unset(advisoryKey)
+      }
+    }
+  }
+
+  private def runStars(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxRounds: Int,
+      reliable: Boolean): (DataFrame, Int) = {
+    val sc = pairs.sparkSession.sparkContext
     def truncate(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
     // a superseded round's checkpoint files are dead the moment the next

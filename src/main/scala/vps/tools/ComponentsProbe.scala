@@ -17,10 +17,12 @@ object ComponentsProbe {
     val nChains = args.headOption.map(_.toInt).getOrElse(2000000)
     val starLeaves = args.lift(1).map(_.toInt).getOrElse(1000000)
     val cpus = args.lift(2).map(_.toInt).getOrElse(16)
+    val advisory = args.lift(3).getOrElse("64m")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("components-probe")
       .config("spark.sql.shuffle.partitions", cpus * 2)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
