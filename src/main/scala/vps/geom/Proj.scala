@@ -18,7 +18,7 @@ package vps.geom
   *   closed forms on Bessel 1841 + CH1903 translation, Swisstopo public
   *   constants, ~1-2 m — the CHENyx06 grid is a native-proj feature)
   * - EPSG:5070 (NAD83 / Conus Albers equal-area conic — Snyder 1987 §14)
-  * - raw proj4 parameter strings (`+proj=tmerc/lcc/aea/utm/longlat/webmerc`
+  * - raw proj4 parameter strings (`+proj=tmerc/lcc/aea/somerc/utm/longlat/webmerc`
   *   with +ellps/+a/+rf/+datum and optional +towgs84 Helmert), parsed onto
   *   the same engines — the breadth path for CRSs without a named preset
   *   (the reference accepts any proj4 CRS, `vectortile/package.scala:28-39`)
@@ -181,32 +181,35 @@ object Proj {
   private[geom] val Wgs84ToOsgb36 = Helmert(-446.448, 125.157, -542.060,
     -0.1502, -0.2470, -0.8421, 20.4894)
 
-  /** Swiss oblique conformal cylindrical projection (Swisstopo "Formulas and
-    * constants for the calculation of the Swiss conformal cylindrical
-    * projection" — public): ellipsoid (Bessel 1841) -> conformal sphere ->
-    * rotation to the Bern pseudo-equator -> Mercator. Exact closed forms, not
-    * the series approximation. Geodetic input/output in the CH1903 datum.
+  /** Oblique conformal cylindrical ("swiss oblique mercator", proj4
+    * `somerc`) parameterized over its natural origin, scale, and ellipsoid
+    * (Swisstopo "Formulas and constants for the calculation of the Swiss
+    * conformal cylindrical projection" — public): ellipsoid -> conformal
+    * sphere at the origin -> rotation to the origin pseudo-equator ->
+    * Mercator. Exact closed forms, not the series approximation. Geodetic
+    * input/output in the grid's own datum.
     */
-  object SwissGrid {
-    private val a = 6377397.155 // Bessel 1841
-    private val invF = 299.1528128
+  final case class Somerc(
+      lat0Deg: Double, lon0Deg: Double, k0: Double,
+      fe: Double, fn: Double,
+      a: Double, invF: Double) extends PlaneProjection {
     private val f = 1.0 / invF
     private val e2 = f * (2.0 - f)
     private val e = math.sqrt(e2)
-    private val phi0 = math.toRadians(46.0 + 57.0 / 60 + 8.66 / 3600) // Bern
-    private val lam0 = math.toRadians(7.0 + 26.0 / 60 + 22.50 / 3600)
+    private val phi0 = math.toRadians(lat0Deg)
+    private val lam0 = math.toRadians(lon0Deg)
     private val sp0 = math.sin(phi0)
-    /** radius of the conformal sphere at Bern */
-    private val bigR = a * math.sqrt(1.0 - e2) / (1.0 - e2 * sp0 * sp0)
+    /** radius of the conformal sphere at the origin, scaled by k0 */
+    private val bigR = k0 * a * math.sqrt(1.0 - e2) / (1.0 - e2 * sp0 * sp0)
     private val alpha = math.sqrt(1.0 + (e2 / (1.0 - e2)) * math.pow(math.cos(phi0), 4))
     private val b0 = math.asin(sp0 / alpha)
     private val bigK = math.log(math.tan(math.Pi / 4 + b0 / 2)) -
       alpha * math.log(math.tan(math.Pi / 4 + phi0 / 2)) +
       alpha * e / 2 * math.log((1 + e * sp0) / (1 - e * sp0))
-    private val FE = 2600000.0 // LV95 false easting/northing
-    private val FN = 1200000.0
+    private val FE = fe
+    private val FN = fn
 
-    /** CH1903 geodetic (degrees) -> LV95 (E, N). */
+    /** local geodetic (degrees) -> grid (E, N). */
     def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
       val phi = math.toRadians(latDeg); val lam = math.toRadians(lonDeg)
       val sp = math.sin(phi)
@@ -221,7 +224,7 @@ object Proj {
       (FE + bigR * lBar, FN + bigR * math.log(math.tan(math.Pi / 4 + bBar / 2)))
     }
 
-    /** LV95 (E, N) -> CH1903 geodetic (degrees). */
+    /** grid (E, N) -> local geodetic (degrees). */
     def inverse(eN: Double, nN: Double): (Double, Double) = {
       val lBar = (eN - FE) / bigR
       val bBar = 2.0 * (math.atan(math.exp((nN - FN) / bigR)) - math.Pi / 4)
@@ -242,6 +245,12 @@ object Proj {
       (math.toDegrees(lam), math.toDegrees(phi))
     }
   }
+
+  /** The Bern-anchored LV95 instance (EPSG:2056 projection parameters). */
+  val SwissGrid: Somerc = Somerc(
+    lat0Deg = 46.0 + 57.0 / 60 + 8.66 / 3600, lon0Deg = 7.0 + 26.0 / 60 + 22.50 / 3600,
+    k0 = 1.0, fe = 2600000.0, fn = 1200000.0,
+    a = 6377397.155, invF = 299.1528128)
 
   /** CH1903/Bessel -> WGS84 3-parameter shift (Swisstopo public constants,
     * ~1-2 m; the centimetre path is swisstopo's CHENyx06 grid, a native-proj
@@ -519,6 +528,9 @@ object Proj {
         Proj4Crs(Lcc(lat0 = num("lat_0", lat1), lat1 = lat1, lat2 = num("lat_2", lat1),
           lon0 = num("lon_0", 0), fe = num("x_0", 0), fn = num("y_0", 0),
           a = ea, invF = eInvF, k0 = k0), ea, eInvF, toWgs)
+      case "somerc" =>
+        Proj4Crs(Somerc(lat0Deg = num("lat_0", 0), lon0Deg = num("lon_0", 0), k0 = k0,
+          fe = num("x_0", 0), fn = num("y_0", 0), a = ea, invF = eInvF), ea, eInvF, toWgs)
       case "aea" =>
         require(k0 == 1.0, "+proj=aea does not take a scale factor (+k/+k_0)")
         val lat1 = num("lat_1", num("lat_0", 0))

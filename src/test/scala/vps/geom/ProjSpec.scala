@@ -274,6 +274,19 @@ class ProjSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Proj.Aea(0, 29.5, -29.5, -96, 0, 0))
     intercept[IllegalArgumentException](Proj.Lcc(0, 30, -30, 0, 0, 0))
 
+    // somerc spelled as proj4 (the official EPSG:2056 parameter string) ==
+    // the built-in Swiss LV95 path, datum shift included
+    val lv95 = Proj.parse("+proj=somerc +lat_0=46.95240555555556 " +
+      "+lon_0=7.439583333333333 +k_0=1 +x_0=2600000 +y_0=1200000 +ellps=bessel " +
+      "+towgs84=674.374,15.056,405.346")
+    for (lon <- Seq(6.6, 7.44, 9.5); lat <- Seq(46.2, 47.4)) {
+      val (sx, sy) = Proj.transform(lon, lat, Proj.LonLat, Proj.SwissLv95)
+      val (px, py) = Proj.transform(lon, lat, Proj.LonLat, lv95)
+      assert(math.hypot(sx - px, sy - py) < 1e-4, s"somerc vs LV95 preset at $lon,$lat")
+      val (lon2, lat2) = Proj.transform(px, py, lv95, Proj.LonLat)
+      assert(math.abs(lon2 - lon) < 1e-7 && math.abs(lat2 - lat) < 1e-7)
+    }
+
     // identity short-circuit works for proj4 CRSs (structural equality incl.
     // the tmerc engine)
     assert(Proj.parse("+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 +x_0=400000 " +

@@ -31,4 +31,49 @@ class StreamingTilesSpec extends AnyFunSuite {
     // one geo span per streamed doc: 4 sequences x 50 rows
     assert(totalFeatures === 200L)
   }
+
+  test("foreachBatch incremental maintenance: diff stream refreshes only dirty tiles") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val zoom = 5
+    val snapshot = vps.docs.InterleavedDocs.extractGeoSpans(
+      vps.docs.InterleavedDocs.fromDocuments(spark, "/root/testdata/sf0.001"))
+      .select(($"id" * 10 + $"span_offset").as("id"), $"geom")
+      .cache()
+    val full = vps.tiling.TilePipeline.tileZoom(snapshot, zoom).collect()
+      .map(t => (t.x, t.y) -> t.mvt.toSeq).toMap
+
+    val out = java.nio.file.Files.createTempDirectory("incrtiles").toString
+    var dirtyUnion = Set.empty[(Int, Int)]
+    val q = spark.readStream
+      .format("augmented-diffs")
+      .option("head", 4).option("batch_size", 2).option("rows_per_sequence", 30)
+      .load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          dirtyUnion ++= DirtyTiles.fromDiffs(batch, zoom)
+            .select($"x", $"y").as[(Int, Int)].collect()
+          val tiles = DirtyTiles.refreshTiles(snapshot, batch, zoom)
+          vps.tiling.TileSink.write(tiles, out)
+          ()
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val written = new java.io.File(s"$out/$zoom").listFiles()
+      .flatMap(_.listFiles())
+      .filter(f => f.getName.endsWith(".mvt") && !f.getName.startsWith("."))
+      .map { f =>
+        ((f.getParentFile.getName.toInt, f.getName.stripSuffix(".mvt").toInt),
+          java.nio.file.Files.readAllBytes(f.toPath).toSeq)
+      }.toMap
+    // exactly the populated dirty tiles were (re)rendered, byte-equal to the
+    // full world render
+    assert(written.keySet === dirtyUnion.intersect(full.keySet))
+    assert(written.nonEmpty)
+    written.foreach { case (k, bytes) => assert(bytes === full(k), s"tile $k differs") }
+    snapshot.unpersist()
+  }
 }
