@@ -124,11 +124,12 @@ object Components {
     require(converged, s"connectedComponents did not converge in $maxRounds rounds " +
       "(rounds grow ~log2 of the longest chain; raise maxRounds)")
 
-    // Converged state is a star forest: every edge is (node, root). Roots name
-    // their own component.
+    // Converged state is a star forest: every non-root node appears exactly
+    // once as `u` (edges are canonical-deduped and stability under both stars
+    // implies one parent per node), so only the root side needs deduping —
+    // a |roots|-sized distinct instead of one over 2x|edges| rows.
     val members = edges.select(col("u").as("id"), col("v").as("component"))
-      .unionAll(edges.select(col("v").as("id"), col("v").as("component")))
-      .distinct()
+      .unionAll(edges.select(col("v").as("id"), col("v").as("component")).distinct())
     (members, rounds)
   }
 

@@ -17,6 +17,12 @@ import org.apache.spark.sql.types._
   */
 object VectorSearch {
 
+  /** one shared encoder: resolving an ExpressionEncoder is not free and every
+    * entry point needs this exact shape
+    */
+  private lazy val floatArrayEnc =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]()
+
   private def cos(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
@@ -42,16 +48,14 @@ object VectorSearch {
     val spark = vectors.sparkSession
     val qs: Array[(Long, Array[Float])] = queries
       .select(col(queryIdCol).cast("long"), col(queryVecCol))
-      .as[(Long, Array[Float])](Encoders.tuple(Encoders.scalaLong,
-        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]()))
+      .as[(Long, Array[Float])](Encoders.tuple(Encoders.scalaLong, floatArrayEnc))
       .collect()
     val bc = spark.sparkContext.broadcast(qs)
 
     // typed tuples: the encoder hands back primitive Array[Float] — a Row's
     // generic getSeq[Float] would box every element (measured GC bottleneck)
     val typed = vectors.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])](Encoders.tuple(Encoders.scalaLong,
-        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]()))
+      .as[(Long, Array[Float])](Encoders.tuple(Encoders.scalaLong, floatArrayEnc))
 
     val candidates = typed.mapPartitions { rows =>
       val queries = bc.value
@@ -131,8 +135,7 @@ object VectorSearch {
     // persisted for the whole init: every round scans it twice (phi + sample)
     // and the weighting pass once more
     val typed = vectors.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])](Encoders.tuple(Encoders.scalaLong,
-        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]()))
+      .as[(Long, Array[Float])](Encoders.tuple(Encoders.scalaLong, floatArrayEnc))
       .rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cands: Array[Array[Float]] = coarseCentroids(vectors, 1, idCol, vecCol).map(_._2)
@@ -236,8 +239,7 @@ object VectorSearch {
     if (iters <= 0 || cents.isEmpty) return cents
     val dim = cents(0)._2.length
     val typed = vectors.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])](Encoders.tuple(Encoders.scalaLong,
-        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]()))
+      .as[(Long, Array[Float])](Encoders.tuple(Encoders.scalaLong, floatArrayEnc))
       .rdd
     var it = 0
     while (it < iters) {
@@ -323,7 +325,6 @@ object VectorSearch {
     val spark = vectors.sparkSession
     val cents = trainCentroids(vectors, numCentroids, trainIters, idCol, vecCol, initRounds)
     val bc = spark.sparkContext.broadcast(cents)
-    val floatArrayEnc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]()
 
     spark.createDataset(cents.toIndexedSeq)(Encoders.tuple(Encoders.scalaInt, floatArrayEnc))
       .toDF("list_id", "centroid")
@@ -359,7 +360,6 @@ object VectorSearch {
       nProbe: Int = 4,
       queryIdCol: String = "query_id",
       queryVecCol: String = "embedding"): DataFrame = {
-    val floatArrayEnc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]()
     val cents: Array[(Int, Array[Float])] = spark.read.parquet(s"$indexDir/centroids")
       .select(col("list_id"), col("centroid"))
       .as[(Int, Array[Float])](Encoders.tuple(Encoders.scalaInt, floatArrayEnc))
@@ -419,7 +419,6 @@ object VectorSearch {
     // typed tuple encoders on BOTH sides: Row(..., v.toSeq) boxes every float
     // of every vector once per build — the encoder hands primitive
     // Array[Float] straight through (same reason as bruteTopK's typed input)
-    val floatArrayEnc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]()
     val assignEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong, floatArrayEnc)
     val typedVecs = vectors.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])](Encoders.tuple(Encoders.scalaLong, floatArrayEnc))

@@ -43,7 +43,8 @@ class ChangesetStreamProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "changesets"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = Changesets.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table = new ChangesetStreamTable
+      properties: util.Map[String, String]): Table =
+    new GenStreamTable("changesets-stream", Changesets.schema, Changesets.row)
 }
 
 object Changesets {
@@ -109,21 +110,3 @@ object Changesets {
   }
 }
 
-class ChangesetStreamTable extends Table with SupportsRead {
-  override def name(): String = "changesets-stream"
-  override def schema(): StructType = Changesets.schema
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val head = options.getInt("head", 10)
-    val batchSize = options.getInt("batch_size", 4)
-    val rowsPerSeq = options.getInt("rows_per_sequence", 100)
-    new ScanBuilder {
-      override def build(): Scan = new Scan {
-        override def readSchema(): StructType = Changesets.schema
-        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new DocMicroBatchStream(head, batchSize, rowsPerSeq, Changesets.row)
-      }
-    }
-  }
-}

@@ -62,7 +62,8 @@ class DiffStreamProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "augmented-diffs"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = Diffs.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table = new DiffStreamTable
+      properties: util.Map[String, String]): Table =
+    new GenStreamTable("augmented-diffs-stream", Diffs.schema, Diffs.row)
 }
 
 object Diffs {
@@ -183,21 +184,3 @@ object Diffs {
   }
 }
 
-class DiffStreamTable extends Table with SupportsRead {
-  override def name(): String = "augmented-diffs-stream"
-  override def schema(): StructType = Diffs.schema
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val head = options.getInt("head", 10)
-    val batchSize = options.getInt("batch_size", 4)
-    val rowsPerSeq = options.getInt("rows_per_sequence", 100)
-    new ScanBuilder {
-      override def build(): Scan = new Scan {
-        override def readSchema(): StructType = Diffs.schema
-        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new DocMicroBatchStream(head, batchSize, rowsPerSeq, Diffs.row)
-      }
-    }
-  }
-}

@@ -34,7 +34,8 @@ class DocStreamProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "interleaved-docs"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = DocStream.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table = new DocStreamTable
+      properties: util.Map[String, String]): Table =
+    new GenStreamTable("interleaved-docs-stream", DocStream.schema, DocStream.row)
 }
 
 object DocStream {
@@ -60,15 +61,22 @@ object DocStream {
         off)
     val spans = new GenericArrayData(Array[Any](
       span("text", s"synthetic doc $id from sequence $seq", null, 0),
-      span("geo", f"POINT ($lon%.4f $lat%.4f)", null, 1),
+      span("geo", String.format(java.util.Locale.ROOT, "POINT (%.4f %.4f)", // locale-proof WKT
+        Double.box(lon), Double.box(lat)), null, 1),
       span("image", null, s"img://$id", 2)))
     InternalRow(UTF8String.fromString(s"doc$id"), seq, spans)
   }
 }
 
-class DocStreamTable extends Table with SupportsRead {
-  override def name(): String = "interleaved-docs-stream"
-  override def schema(): StructType = DocStream.schema
+/** Shared DSv2 table for every sequence-clocked generator feed: reads the
+  * common `head`/`batch_size`/`rows_per_sequence` options and wires the
+  * feed's row generator into [[DocMicroBatchStream]] — a new typed feed is
+  * one provider + one schema + one pure generator function.
+  */
+class GenStreamTable(tableName: String, tableSchema: StructType,
+    gen: (Int, Int, Int) => InternalRow) extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -77,9 +85,9 @@ class DocStreamTable extends Table with SupportsRead {
     val rowsPerSeq = options.getInt("rows_per_sequence", 100)
     new ScanBuilder {
       override def build(): Scan = new Scan {
-        override def readSchema(): StructType = DocStream.schema
+        override def readSchema(): StructType = tableSchema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new DocMicroBatchStream(head, batchSize, rowsPerSeq, DocStream.row)
+          new DocMicroBatchStream(head, batchSize, rowsPerSeq, gen)
       }
     }
   }
