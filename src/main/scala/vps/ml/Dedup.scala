@@ -21,6 +21,12 @@ import vps.text.functions._
   * shuffle volume is O(corpus × bands × 16 bytes), not O(corpus × bands ×
   * payload).
   *
+  * GROUP resolution: [[nearDuplicateMembership]] turns minhash pairs into
+  * `(id, keep_id)` groups via [[Components.connectedComponents]]; the same
+  * composition works for ANY pair list — e.g.
+  * `Components.connectedComponents(simhashCandidates(df))` or the embedding
+  * variant — since all three emit the `(id_a, id_b)` shape.
+  *
   * Hot-bucket bound shared by every banded variant: bucket membership is
   * gathered with `collect_capped(maxBucket)` — O(maxBucket) aggregation state
   * map-side and reduce-side — so a boilerplate mega-duplicate class (10^8
