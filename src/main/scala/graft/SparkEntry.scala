@@ -479,6 +479,20 @@ object SparkEntry {
         .orderBy("doc_id", "span_offset")
     }),
 
+    // ---- dissolve (st_union_agg) + st_make_valid: geometry union is not
+    // ANSI-SQL-expressible -> rows-only here; GeomExpressionSpec carries the
+    // correctness gate (exact union areas, component counts, bowtie repair) ----
+    "q40_dissolve" -> ((s, dir) => {
+      val polys = boxPolys(s).withColumn("grp", col("poly_id") % 5)
+      polys.groupBy("grp")
+        .agg(vps.sql.functions.st_union_agg(
+          vps.sql.functions.st_makeValid(col("geom"))).as("u"))
+        .select(col("grp"),
+          floor(st_area(col("u")) * 100).cast("long").as("area_e2"),
+          st_numGeometries(col("u")).as("n_parts"))
+        .orderBy("grp")
+    }),
+
     // ---- reverse geocode (broadcast pip + per-row region names) ----
     "q30_geocode" -> ((s, dir) => {
       val pts = geoPoints(s, dir)

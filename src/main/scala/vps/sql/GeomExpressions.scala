@@ -118,6 +118,29 @@ case class StCentroid(child: Expression) extends GeomUnary {
   override protected def evalGeom(g: Geometry): Any = Wkb.write(g.getCentroid)
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
+/** Repair invalid geometries (self-intersecting rings, bowties, duplicate
+  * points) via JTS GeometryFixer — the column-level bad-geometry tolerance
+  * that complements the ErrorChannel path: fix what is fixable instead of
+  * nulling it. Valid input passes through structurally unchanged.
+  */
+case class StMakeValid(child: Expression) extends GeomUnary {
+  override def dataType: DataType = GeometryUDT.Instance
+  override protected def evalGeom(g: Geometry): Any =
+    Wkb.write(if (g.isValid) g else org.locationtech.jts.geom.util.GeometryFixer.fix(g))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+/** True when the geometry is valid under the OGC rules (JTS isValid). */
+case class StIsValid(child: Expression) extends GeomUnary {
+  override def dataType: DataType = BooleanType
+  override protected def evalGeom(g: Geometry): Any = g.isValid
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+/** Number of components in a (multi-)geometry (JTS getNumGeometries). */
+case class StNumGeometries(child: Expression) extends GeomUnary {
+  override def dataType: DataType = IntegerType
+  override protected def evalGeom(g: Geometry): Any = g.getNumGeometries
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
 case class StIsEmpty(child: Expression) extends GeomUnary {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"vps.sql.GeomOps.isEmpty($c)")
@@ -202,6 +225,83 @@ case class StReproject(first: Expression, second: Expression, third: Expression)
   }
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
     copy(f, s, t)
+}
+
+/** Aggregate union — DISSOLVE: `groupBy(key).agg(st_union_agg(geom))`, the
+  * PostGIS ST_Union(agg) analogue. Memory is BOUNDED: the buffer holds at
+  * most [[StUnionAgg.BatchSize]] pending geometries and collapses them
+  * through the classic cascaded union whenever full, so a 10^6-polygon group
+  * costs O(BatchSize) buffered geometries map- AND reduce-side, never a
+  * collected array. The result is topologically deterministic regardless of
+  * partitioning (union is associative/commutative); vertex order is
+  * canonicalized with `norm()`.
+  */
+case class StUnionAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[
+      scala.collection.mutable.ArrayBuffer[Geometry]]
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+  import StUnionAgg.BatchSize
+  type Buf = scala.collection.mutable.ArrayBuffer[Geometry]
+
+  override def nullable: Boolean = true
+  override def dataType: DataType = GeometryUDT.Instance
+  override def createAggregationBuffer(): Buf = scala.collection.mutable.ArrayBuffer.empty
+
+  private def collapse(b: Buf): Unit =
+    if (b.length > 1) {
+      // UnaryUnionOp: cascaded union for polygonal input, handles mixed
+      // geometry types (lines/points dissolve into their unions too)
+      val coll = new java.util.ArrayList[Geometry](b.length)
+      b.foreach(coll.add)
+      val u = org.locationtech.jts.operation.union.UnaryUnionOp.union(coll)
+      b.clear()
+      b += u
+    }
+
+  override def update(b: Buf, input: InternalRow): Buf = {
+    val v = child.eval(input)
+    if (v != null) {
+      b += Wkb.read(v.asInstanceOf[Array[Byte]])
+      if (b.length >= BatchSize) collapse(b)
+    }
+    b
+  }
+
+  override def merge(b: Buf, o: Buf): Buf = {
+    b ++= o
+    if (b.length >= BatchSize) collapse(b)
+    b
+  }
+
+  override def eval(b: Buf): Any =
+    if (b.isEmpty) null
+    else {
+      collapse(b)
+      Wkb.write(b.head.norm())
+    }
+
+  override def serialize(b: Buf): Array[Byte] = {
+    collapse(b)
+    if (b.isEmpty) Array.emptyByteArray else Wkb.write(b.head)
+  }
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val b = scala.collection.mutable.ArrayBuffer.empty[Geometry]
+    if (bytes.nonEmpty) b += Wkb.read(bytes)
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): StUnionAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): StUnionAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+object StUnionAgg {
+  /** pending geometries per buffer before a cascaded-union collapse */
+  val BatchSize = 64
 }
 
 /** Thread-local LRU of parsed + prepared geometries, keyed by WKB content.
@@ -502,6 +602,11 @@ object functions {
     */
   def st_reproject(g: Column, fromCrs: String, toCrs: String): Column =
     c(StReproject(ex(g), ex(lit(fromCrs)), ex(lit(toCrs))))
+  def st_makeValid(g: Column): Column = c(StMakeValid(ex(g)))
+  def st_numGeometries(g: Column): Column = c(StNumGeometries(ex(g)))
+  def st_isValid(g: Column): Column = c(StIsValid(ex(g)))
+  /** Aggregate dissolve: `groupBy(key).agg(st_union_agg(geom))`. */
+  def st_union_agg(g: Column): Column = c(StUnionAgg(ex(g)).toAggregateExpression())
   def st_contains(a: Column, b: Column): Column = c(StContains(ex(a), ex(b)))
   def st_intersects(a: Column, b: Column): Column = c(StIntersects(ex(a), ex(b)))
   /** [[StIntersectsKeyed]]: `key` must uniquely identify geometry `a` within
@@ -549,6 +654,9 @@ object functions {
     r("st_x", e => StX(e(0)))
     r("st_y", e => StY(e(0)))
     r("st_area", e => StArea(e(0)))
+    r("st_makevalid", e => StMakeValid(e(0)))
+    r("st_isvalid", e => StIsValid(e(0)))
+    r("st_union_agg", e => StUnionAgg(e(0)).toAggregateExpression())
     r("st_contains", e => StContains(e(0), e(1)))
     r("st_intersects", e => StIntersects(e(0), e(1)))
     r("st_distance", e => StDistance(e(0), e(1)))

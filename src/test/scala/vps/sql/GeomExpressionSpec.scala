@@ -143,6 +143,49 @@ class GeomExpressionSpec extends AnyFunSuite {
     assert(math.abs(lon - 15.5) < 1e-9 && math.abs(lat - 47.1) < 1e-9)
   }
 
+  test("st_make_valid repairs a bowtie; st_is_valid flags it; valid passes through") {
+    val bowtie = "POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))" // self-intersecting
+    val square = "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"
+    val df = Seq((1L, bowtie), (2L, square)).toDF("id", "wkt")
+      .select($"id", st_geomFromWKT($"wkt").as("g"))
+    val validity = df.select($"id", st_isValid($"g")).as[(Long, Boolean)].collect().toMap
+    assert(validity === Map(1L -> false, 2L -> true))
+    val fixed = df.select($"id", st_isValid(st_makeValid($"g")),
+      st_area(st_makeValid($"g"))).as[(Long, Boolean, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(fixed(1L)._1 && fixed(2L)._1)
+    // the bowtie splits into triangles (0,0)-(1,1)-(0,2) and
+    // (2,0)-(1,1)-(2,2): area 1 each, total 2
+    assert(math.abs(fixed(1L)._2 - 2.0) < 1e-9)
+    assert(math.abs(fixed(2L)._2 - 1.0) < 1e-9)
+  }
+
+  test("st_union_agg dissolves per group with a bounded buffer") {
+    // group A: two overlapping unit squares (union area 1.75) + one disjoint
+    // (total 2.75, 2 components); group B: 200 stacked identical squares
+    // (area 1) — 200 > BatchSize, so the collapse path is exercised
+    val a = Seq(
+      ("A", "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"),
+      ("A", "POLYGON ((0.5 0.5, 1.5 0.5, 1.5 1.5, 0.5 1.5, 0.5 0.5))"),
+      ("A", "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))"))
+    val b = (0 until 200).map(_ => ("B", "POLYGON ((10 10, 11 10, 11 11, 10 11, 10 10))"))
+    val df = (a ++ b).toDF("k", "wkt").select($"k", st_geomFromWKT($"wkt").as("g"))
+      .repartition(4) // force partial buffers + a real merge
+    val got = df.groupBy($"k").agg(st_union_agg($"g").as("u"))
+      .select($"k", st_area($"u"), st_asWKB($"u"))
+      .as[(String, Double, Array[Byte])].collect()
+      .map(r => r._1 -> (r._2, vps.geom.Wkb.read(r._3))).toMap
+    assert(math.abs(got("A")._1 - 2.75) < 1e-9)
+    assert(got("A")._2.getNumGeometries === 2) // multipolygon: merged pair + island
+    assert(math.abs(got("B")._1 - 1.0) < 1e-9)
+    // SQL surface
+    df.createOrReplaceTempView("diss")
+    vps.sql.functions.register(spark)
+    val viaSql = spark.sql("SELECT k, st_area(st_union_agg(g)) FROM diss GROUP BY k")
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(viaSql("A") - 2.75) < 1e-9 && math.abs(viaSql("B") - 1.0) < 1e-9)
+  }
+
   test("reprojection closed forms") {
     val df = Seq("POINT (10 45)").toDF("wkt").select(st_geomFromWKT($"wkt").as("g"))
     val (mx, my) = df.select(st_x(st_toWebMercator($"g")), st_y(st_toWebMercator($"g")))
