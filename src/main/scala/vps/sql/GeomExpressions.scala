@@ -135,6 +135,23 @@ case class StIsValid(child: Expression) extends GeomUnary {
   override protected def evalGeom(g: Geometry): Any = g.isValid
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
+/** Buffer by a distance in the geometry's coordinate units (JTS BufferOp,
+  * default quadrant segments). Negative distances shrink polygons.
+  */
+case class StBuffer(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = GeometryUDT.Instance
+  override def nullSafeEval(g: Any, d: Any): Any =
+    Wkb.write(Wkb.read(g.asInstanceOf[Array[Byte]]).buffer(d.asInstanceOf[Double]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+/** Convex hull (JTS). */
+case class StConvexHull(child: Expression) extends GeomUnary {
+  override def dataType: DataType = GeometryUDT.Instance
+  override protected def evalGeom(g: Geometry): Any = Wkb.write(g.convexHull())
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
 /** Number of components in a (multi-)geometry (JTS getNumGeometries). */
 case class StNumGeometries(child: Expression) extends GeomUnary {
   override def dataType: DataType = IntegerType
@@ -604,6 +621,8 @@ object functions {
     c(StReproject(ex(g), ex(lit(fromCrs)), ex(lit(toCrs))))
   def st_makeValid(g: Column): Column = c(StMakeValid(ex(g)))
   def st_numGeometries(g: Column): Column = c(StNumGeometries(ex(g)))
+  def st_buffer(g: Column, dist: Column): Column = c(StBuffer(ex(g), ex(dist.cast("double"))))
+  def st_convexHull(g: Column): Column = c(StConvexHull(ex(g)))
   def st_isValid(g: Column): Column = c(StIsValid(ex(g)))
   /** Aggregate dissolve: `groupBy(key).agg(st_union_agg(geom))`. */
   def st_union_agg(g: Column): Column = c(StUnionAgg(ex(g)).toAggregateExpression())
@@ -655,6 +674,9 @@ object functions {
     r("st_y", e => StY(e(0)))
     r("st_area", e => StArea(e(0)))
     r("st_makevalid", e => StMakeValid(e(0)))
+    r("st_buffer", e => StBuffer(e(0), e(1)))
+    r("st_convexhull", e => StConvexHull(e(0)))
+    r("st_numgeometries", e => StNumGeometries(e(0)))
     r("st_isvalid", e => StIsValid(e(0)))
     r("st_union_agg", e => StUnionAgg(e(0)).toAggregateExpression())
     r("st_contains", e => StContains(e(0), e(1)))

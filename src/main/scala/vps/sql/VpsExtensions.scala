@@ -33,6 +33,9 @@ class VpsExtensions extends (SparkSessionExtensions => Unit) {
     inject("st_centroid", e => StCentroid(e(0)))
     inject("st_isempty", e => StIsEmpty(e(0)))
     inject("st_makevalid", e => StMakeValid(e(0)))
+    inject("st_buffer", e => StBuffer(e(0), e(1)))
+    inject("st_convexhull", e => StConvexHull(e(0)))
+    inject("st_numgeometries", e => StNumGeometries(e(0)))
     inject("st_isvalid", e => StIsValid(e(0)))
     inject("st_union_agg", e => StUnionAgg(e(0)).toAggregateExpression())
     inject("st_contains", e => StContains(e(0), e(1)))

@@ -186,6 +186,22 @@ class GeomExpressionSpec extends AnyFunSuite {
     assert(math.abs(viaSql("A") - 2.75) < 1e-9 && math.abs(viaSql("B") - 1.0) < 1e-9)
   }
 
+  test("st_buffer and st_convex_hull") {
+    val df = Seq("POINT (10 10)").toDF("wkt").select(st_geomFromWKT($"wkt").as("g"))
+    // default JTS quadrant segments (8): buffer area is slightly under pi*r^2
+    val area = df.select(st_area(st_buffer($"g", lit(2.0)))).as[Double].head()
+    assert(area > 0.97 * math.Pi * 4 && area <= math.Pi * 4, s"buffer area $area")
+    // negative buffer shrinks: a 4x4 square shrunk by 1 leaves a 2x2 core
+    val sq = Seq("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))").toDF("wkt")
+      .select(st_geomFromWKT($"wkt").as("g"))
+    assert(math.abs(sq.select(st_area(st_buffer($"g", lit(-1.0)))).as[Double].head() - 4.0) < 1e-9)
+    // hull of an L-shaped multipoint is the bounding triangle-ish hull
+    val pts = Seq("MULTIPOINT ((0 0), (4 0), (0 4), (1 1))").toDF("wkt")
+      .select(st_geomFromWKT($"wkt").as("g"))
+    val hullArea = pts.select(st_area(st_convexHull($"g"))).as[Double].head()
+    assert(math.abs(hullArea - 8.0) < 1e-9) // triangle (0,0)(4,0)(0,4)
+  }
+
   test("reprojection closed forms") {
     val df = Seq("POINT (10 45)").toDF("wkt").select(st_geomFromWKT($"wkt").as("g"))
     val (mx, my) = df.select(st_x(st_toWebMercator($"g")), st_y(st_toWebMercator($"g")))
