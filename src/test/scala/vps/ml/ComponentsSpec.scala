@@ -43,6 +43,34 @@ class ComponentsSpec extends AnyFunSuite {
     assert(rounds <= 16, s"expected O(log n) convergence, took $rounds rounds")
   }
 
+  test("random graphs match a local union-find oracle") {
+    def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        if (a != b) { val ra = find(a); val rb = find(b); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+      }
+      val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      // only nodes in some non-trivial component (paired with a distinct node)
+      val paired = pairs.filter(p => p._1 != p._2).flatMap(p => Seq(p._1, p._2)).toSet
+      nodes.filter(paired).map(n => n -> find(n)).toMap
+    }
+    (1 to 5).foreach { seed =>
+      val nNodes = 40 + seed * 17
+      val nEdges = 60 + seed * 23
+      val pairs = (0 until nEdges).map { i =>
+        val h = vps.text.TextOps.mix64(seed.toLong * 1000003 + i)
+        ((h & 0x7fffffff) % nNodes, ((h >>> 32) & 0x7fffffff) % nNodes)
+      }
+      val expected = unionFind(pairs)
+      val got = cc(pairs)
+      assert(got === expected, s"seed=$seed: distributed CC != union-find oracle")
+    }
+  }
+
   test("hot-root skew: a 200k-leaf star resolves without collected neighbor lists") {
     // the root's degree equals the component size — the case that breaks
     // collect_list-style CC implementations; ours only ever reduces min(v)
