@@ -63,6 +63,21 @@ object SparkEntry {
         col("lon0"), col("lat0") + 12.0,
         col("lon0"), col("lat0"))).as("geom"))
 
+  /** Exact-duplicate pairs of the base+copies corpus found VIA the LSH
+    * pipeline (bands -> bucket pairs -> jaccard >= 1.0 -> exact text
+    * equality) — shared by q27 (pairs) and q36 (groups via connected
+    * components).
+    */
+  private def exactPairsViaLsh(s: SparkSession, dir: String): DataFrame = {
+    val base = docsT(s, dir).select(col("doc_id").as("id"), col("text"))
+    val corpus = base.unionAll(base.select((col("id") + 100000L).as("id"), col("text")))
+    Dedup.minhashCandidates(corpus, minJaccard = 1.0)
+      .join(corpus.select(col("id").as("id_a"), col("text").as("_ta")), Seq("id_a"))
+      .join(corpus.select(col("id").as("id_b"), col("text").as("_tb")), Seq("id_b"))
+      .where(col("_ta") === col("_tb"))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- general query capability over the TPC-H-ish tables ----
     "q01_agg" -> ((s, dir) => {
@@ -313,14 +328,15 @@ object SparkEntry {
         .orderBy("x", "y", "layer")
     }),
 
-    // ---- minhash-LSH with a SQL-provable projection: at minJaccard=0.995
-    // only the planted exact copies qualify (measured max natural cross-pair
-    // jaccard in the corpus is 0.991), and LSH recall on identical texts is
-    // exact (identical signatures) ----
+    // ---- minhash-LSH with a SQL-provable projection: LSH candidates at
+    // minJaccard=1.0 (equal distinct-shingle sets) finished with an exact
+    // text-equality verify — the exact-dedup-via-LSH pipeline. The equality
+    // step matters: the corpus REALLY contains texts with equal shingle sets
+    // but unequal strings (measured at sf0.1), and natural exact duplicates
+    // at any SF are handled by the self-join oracle. LSH recall on identical
+    // texts is exact (identical signatures) ----
     "q27_minhash_exact" -> ((s, dir) => {
-      val base = docsT(s, dir).select(col("doc_id").as("id"), col("text"))
-      val copies = base.select((col("id") + 100000L).as("id"), col("text"))
-      Dedup.minhashCandidates(base.unionAll(copies), minJaccard = 0.995)
+      exactPairsViaLsh(s, dir)
         .select(col("id_a"), col("id_b"), floor(col("jaccard") * 1000).cast("long").as("jaccard_e3"))
         .orderBy("id_a", "id_b")
     }),
@@ -423,13 +439,13 @@ object SparkEntry {
     }),
 
     // ---- near-dup GROUP membership (LSH pairs -> connected components):
-    // at minJaccard=0.995 the verified pairs are exactly the planted identical
-    // copies (see q27), so membership must equal the exact-dedup groups ----
+    // the equality-verified pairs (see q27) are exactly the equal-text
+    // pairs, so membership must equal the exact-dedup digest groups —
+    // including groups merged by NATURAL exact duplicates in the corpus ----
     "q36_neardup_members" -> ((s, dir) => {
-      val base = docsT(s, dir).select(col("doc_id").as("id"), col("text"))
-      val corpus = base.unionAll(base.select((col("id") + 100000L).as("id"), col("text")))
-      Dedup.nearDuplicateMembership(corpus, minJaccard = 0.995)
-        .select(col("id"), col("keep_id"))
+      vps.ml.Components.connectedComponents(
+        exactPairsViaLsh(s, dir).select(col("id_a"), col("id_b")))
+        .select(col("id"), col("component").as("keep_id"))
         .orderBy("id")
     }),
 
@@ -675,8 +691,12 @@ object SparkEntry {
            |FROM ($geoSpansSql)
            |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
       "q27_minhash_exact" ->
-        """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, CAST(1000 AS BIGINT) AS jaccard_e3
-          |FROM documents ORDER BY 1, 2""".stripMargin,
+        """WITH corpus AS (
+          |  SELECT doc_id AS id, text FROM documents
+          |  UNION ALL SELECT doc_id + 100000, text FROM documents)
+          |SELECT a.id AS id_a, b.id AS id_b, CAST(1000 AS BIGINT) AS jaccard_e3
+          |FROM corpus a JOIN corpus b ON a.text = b.text AND a.id < b.id
+          |ORDER BY 1, 2""".stripMargin,
       "q28_dedup_members" ->
         """WITH corpus AS (
           |  SELECT doc_id AS id, text FROM documents
