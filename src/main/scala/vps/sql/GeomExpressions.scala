@@ -245,68 +245,91 @@ case class StReproject(first: Expression, second: Expression, third: Expression)
 }
 
 /** Aggregate union — DISSOLVE: `groupBy(key).agg(st_union_agg(geom))`, the
-  * PostGIS ST_Union(agg) analogue. Memory is BOUNDED: the buffer holds at
-  * most [[StUnionAgg.BatchSize]] pending geometries and collapses them
-  * through the classic cascaded union whenever full, so a 10^6-polygon group
-  * costs O(BatchSize) buffered geometries map- AND reduce-side, never a
-  * collected array. The result is topologically deterministic regardless of
-  * partitioning (union is associative/commutative); vertex order is
-  * canonicalized with `norm()`.
+  * PostGIS ST_Union(agg) analogue. Memory is BOUNDED and the collapse cost is
+  * LOG-SHAPED: raw inputs batch up to [[StUnionAgg.BatchSize]] pending
+  * geometries, each full batch cascades into one partial, and partials merge
+  * through a SIZE-TIERED binomial counter (slot r holds one partial of ~2^r
+  * batches; a carry unions only equal-magnitude partials). A 10^6-polygon
+  * group therefore costs O(BatchSize + log n) buffered geometries and
+  * O(n log n) total vertex work — a linear accumulate-into-one collapse would
+  * re-walk the growing union every batch, O(n^2/BatchSize)
+  * (measured 2758 us/box at n=10^5 vs 332 at n=1.25*10^4 before the fix).
+  * The result is topologically deterministic regardless of partitioning
+  * (union is associative/commutative); vertex order is canonicalized with
+  * `norm()`.
   */
 case class StUnionAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[
-      scala.collection.mutable.ArrayBuffer[Geometry]]
+      StUnionAgg.UnionBuf]
     with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
-  import StUnionAgg.BatchSize
-  type Buf = scala.collection.mutable.ArrayBuffer[Geometry]
+  import StUnionAgg.{BatchSize, UnionBuf}
 
   override def nullable: Boolean = true
   override def dataType: DataType = GeometryUDT.Instance
-  override def createAggregationBuffer(): Buf = scala.collection.mutable.ArrayBuffer.empty
+  override def createAggregationBuffer(): UnionBuf = new UnionBuf
 
-  private def collapse(b: Buf): Unit =
-    if (b.length > 1) {
-      // UnaryUnionOp: cascaded union for polygonal input, handles mixed
-      // geometry types (lines/points dissolve into their unions too)
-      val coll = new java.util.ArrayList[Geometry](b.length)
-      b.foreach(coll.add)
-      val u = org.locationtech.jts.operation.union.UnaryUnionOp.union(coll)
-      b.clear()
-      b += u
-    }
-
-  override def update(b: Buf, input: InternalRow): Buf = {
+  override def update(b: UnionBuf, input: InternalRow): UnionBuf = {
     val v = child.eval(input)
     if (v != null) {
-      b += Wkb.read(v.asInstanceOf[Array[Byte]])
-      if (b.length >= BatchSize) collapse(b)
+      b.pending += Wkb.read(v.asInstanceOf[Array[Byte]])
+      if (b.pending.length >= BatchSize) b.flushPending()
     }
     b
   }
 
-  override def merge(b: Buf, o: Buf): Buf = {
-    b ++= o
-    if (b.length >= BatchSize) collapse(b)
+  override def merge(b: UnionBuf, o: UnionBuf): UnionBuf = {
+    b.pending ++= o.pending
+    if (b.pending.length >= BatchSize) b.flushPending()
+    var r = 0
+    while (r < o.tiers.length) {
+      // a shuffled partial re-enters at its own magnitude, not at rank 0
+      if (o.tiers(r) != null) b.insert(o.tiers(r), r)
+      r += 1
+    }
     b
   }
 
-  override def eval(b: Buf): Any =
-    if (b.isEmpty) null
-    else {
-      collapse(b)
-      Wkb.write(b.head.norm())
-    }
-
-  override def serialize(b: Buf): Array[Byte] = {
-    collapse(b)
-    if (b.isEmpty) Array.emptyByteArray else Wkb.write(b.head)
+  override def eval(b: UnionBuf): Any = {
+    val all = b.all
+    if (all.isEmpty) null
+    else if (all.length == 1) Wkb.write(all.head.norm())
+    else Wkb.write(StUnionAgg.clusterUnion(all).norm())
   }
-  override def deserialize(bytes: Array[Byte]): Buf = {
-    val b = scala.collection.mutable.ArrayBuffer.empty[Geometry]
-    if (bytes.nonEmpty) b += Wkb.read(bytes)
+
+  override def serialize(b: UnionBuf): Array[Byte] = {
+    b.flushPending()
+    val parts = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+    var r = 0
+    while (r < b.tiers.length) {
+      if (b.tiers(r) != null) parts += ((r, Wkb.write(b.tiers(r))))
+      r += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(out)
+    dos.writeInt(parts.length)
+    parts.foreach { case (rank, wkb) =>
+      dos.writeInt(rank); dos.writeInt(wkb.length); dos.write(wkb)
+    }
+    dos.flush()
+    out.toByteArray
+  }
+  override def deserialize(bytes: Array[Byte]): UnionBuf = {
+    val b = new UnionBuf
+    if (bytes.nonEmpty) {
+      val dis = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+      val n = dis.readInt()
+      (0 until n).foreach { _ =>
+        val rank = dis.readInt()
+        val wkb = new Array[Byte](dis.readInt())
+        dis.readFully(wkb)
+        while (b.tiers.length <= rank) b.tiers += null
+        // slots are unique in a serialized buffer; direct placement, no carry
+        b.tiers(rank) = Wkb.read(wkb)
+      }
+    }
     b
   }
 
@@ -317,8 +340,110 @@ case class StUnionAgg(
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 object StUnionAgg {
-  /** pending geometries per buffer before a cascaded-union collapse */
+  /** raw geometries per buffer before a cascaded-union collapse into a tier */
   val BatchSize = 64
+
+  /** Size-tiered union state: `pending` holds < BatchSize raw inputs;
+    * `tiers(r)` holds at most one partial made of ~2^r batches (null = empty
+    * slot). Inserting at an occupied rank unions the two equal-magnitude
+    * partials and carries the result to rank+1, binomial-heap style.
+    */
+  final class UnionBuf {
+    val pending = scala.collection.mutable.ArrayBuffer.empty[Geometry]
+    val tiers = scala.collection.mutable.ArrayBuffer.empty[Geometry]
+
+    def insert(g: Geometry, rank: Int): Unit = {
+      var r = rank
+      var cur = g
+      while (r < tiers.length && tiers(r) != null) {
+        cur = clusterUnion(Seq(cur, tiers(r)))
+        tiers(r) = null
+        r += 1
+      }
+      while (tiers.length <= r) tiers += null
+      tiers(r) = cur
+    }
+
+    /** Cascade the pending batch into one partial and carry it into the tiers. */
+    def flushPending(): Unit = if (pending.nonEmpty) {
+      val u = if (pending.length == 1) pending.head else clusterUnion(pending.toSeq)
+      pending.clear()
+      insert(u, 0)
+    }
+
+    def all: Seq[Geometry] = (pending ++ tiers.filter(_ != null)).toSeq
+  }
+
+  /** Union that only pays overlay cost where geometries actually interact.
+    * JTS's own cascaded union (and even envelope-disjoint binary union) is
+    * SUPER-LINEAR in the component count of its inputs — measured 318 us/box
+    * at n=1.25e4 vs 1363 at n=5e4 for UnaryUnionOp over fully disjoint boxes
+    * ([[vps.tools.JtsUnionProbe]]) — because every intermediate overlay
+    * re-nodes the accumulated component set. Here components are first
+    * clustered by envelope overlap (STRtree + union-find, O(n log n)); a real
+    * overlay union runs only WITHIN each cluster (where boundaries can
+    * actually dissolve), and cluster results — provably disjoint across
+    * clusters — are concatenated without noding. Disjoint-heavy dissolve
+    * groups become ~linear; fully-overlapping input degenerates to exactly
+    * the cascaded union it would run anyway.
+    */
+  def clusterUnion(geoms: Seq[Geometry]): Geometry = {
+    val comps = scala.collection.mutable.ArrayBuffer.empty[Geometry]
+    geoms.foreach { g =>
+      var i = 0
+      while (i < g.getNumGeometries) {
+        val c = g.getGeometryN(i)
+        if (!c.isEmpty) comps += c // empty components have no envelope and no effect
+        i += 1
+      }
+    }
+    if (comps.isEmpty) return geoms.head // all-empty input: empty geometry through
+    if (comps.length == 1) return comps.head
+    val n = comps.length
+    val tree = new org.locationtech.jts.index.strtree.STRtree()
+    var i = 0
+    while (i < n) { tree.insert(comps(i).getEnvelopeInternal, Integer.valueOf(i)); i += 1 }
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    i = 0
+    while (i < n) {
+      val it = tree.query(comps(i).getEnvelopeInternal).iterator()
+      while (it.hasNext) {
+        val j = it.next().asInstanceOf[Integer].intValue()
+        if (j != i) {
+          val ri = find(i); val rj = find(j)
+          if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+        }
+      }
+      i += 1
+    }
+    val groups = scala.collection.mutable.LinkedHashMap
+      .empty[Int, scala.collection.mutable.ArrayBuffer[Geometry]]
+    i = 0
+    while (i < n) {
+      groups.getOrElseUpdate(find(i),
+        scala.collection.mutable.ArrayBuffer.empty[Geometry]) += comps(i)
+      i += 1
+    }
+    val out = new java.util.ArrayList[Geometry](groups.size)
+    groups.values.foreach { grp =>
+      if (grp.length == 1) out.add(grp.head)
+      else {
+        val coll = new java.util.ArrayList[Geometry](grp.length)
+        grp.foreach(coll.add)
+        val u = org.locationtech.jts.operation.union.UnaryUnionOp.union(coll)
+        var k = 0
+        while (k < u.getNumGeometries) { out.add(u.getGeometryN(k)); k += 1 }
+      }
+    }
+    if (out.size == 1) out.get(0) else comps.head.getFactory.buildGeometry(out)
+  }
 }
 
 /** Thread-local LRU of parsed + prepared geometries, keyed by WKB content.

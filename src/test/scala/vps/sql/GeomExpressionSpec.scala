@@ -186,6 +186,25 @@ class GeomExpressionSpec extends AnyFunSuite {
     assert(math.abs(viaSql("A") - 2.75) < 1e-9 && math.abs(viaSql("B") - 1.0) < 1e-9)
   }
 
+  test("st_union_agg cluster path: shared edges dissolve, disjoint mega-group stays exact") {
+    // row of 6 unit boxes sharing edges -> ONE 6x1 polygon (the cluster-union
+    // concat must NOT skip the real overlay where boundaries touch), plus a
+    // 4097-box disjoint grid in the same frame (> 64 batches -> several tier
+    // carries): exact area and component count survive the tiered collapse
+    val strip = (0 until 6).map(i => ("S", s"POLYGON (($i 0, ${i + 1} 0, ${i + 1} 1, $i 1, $i 0))"))
+    val grid = (0 until 4097).map { i =>
+      val x = (i % 64) * 2; val y = (i / 64) * 2
+      ("G", s"POLYGON (($x $y, ${x + 1} $y, ${x + 1} ${y + 1}, $x ${y + 1}, $x $y))")
+    }
+    val df = (strip ++ grid).toDF("k", "wkt")
+      .select($"k", st_geomFromWKT($"wkt").as("g")).repartition(8)
+    val got = df.groupBy($"k").agg(st_union_agg($"g").as("u"))
+      .select($"k", st_area($"u"), st_numGeometries($"u"))
+      .as[(String, Double, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(math.abs(got("S")._1 - 6.0) < 1e-9 && got("S")._2 === 1)
+    assert(math.abs(got("G")._1 - 4097.0) < 1e-9 && got("G")._2 === 4097)
+  }
+
   test("st_buffer and st_convex_hull") {
     val df = Seq("POINT (10 10)").toDF("wkt").select(st_geomFromWKT($"wkt").as("g"))
     // default JTS quadrant segments (8): buffer area is slightly under pi*r^2
