@@ -31,9 +31,14 @@ import org.apache.spark.sql.functions._
   * fine for a single JVM).
   *
   * Convergence: a round is a no-op exactly when the edge set (canonically
-  * oriented big->small, deduped) is unchanged; detected with one aggregate
-  * job per round — (count, xor of xxhash64(u,v)) — instead of a full
-  * `except` pass.
+  * oriented big->small, deduped) is unchanged; detected with a set
+  * fingerprint — (count, xor, sum) of a per-edge 64-bit mix — computed by an
+  * accumulator ON THE ROUND'S OWN MATERIALIZATION, so a round is a single
+  * job (no separate fingerprint aggregate, no extra scan). The accumulator
+  * uses per-partition REPLACE semantics, making it idempotent under reliable
+  * checkpoint's recompute job and task retries. Three independent reductions
+  * (count + xor + sum) make an accidental collision — same count AND same
+  * xor AND same sum over a different set — cryptographically unlikely.
   */
 object Components {
 
@@ -86,9 +91,42 @@ object Components {
       bCol: String,
       maxRounds: Int,
       reliable: Boolean): (DataFrame, Int) = {
-    val sc = pairs.sparkSession.sparkContext
-    def truncate(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    val spark = pairs.sparkSession
+    val sc = spark.sparkContext
+    import spark.implicits._
+    // Materialize a round AND fingerprint it in the same job: wrap the edge
+    // iterator so each task folds (count, xor, sum) of a per-edge mix into a
+    // per-partition accumulator slot as the checkpoint writes flow past.
+    // REPLACE semantics per partition id keep the value exact when reliable
+    // checkpointing recomputes the RDD in its second job (or a task retries).
+    def truncate(df: DataFrame): (DataFrame, (Long, Long, Long)) = {
+      val acc = new FingerprintAcc
+      sc.register(acc, "cc-edge-fingerprint")
+      val tagged = df.as[(Long, Long)].mapPartitions { it =>
+        new Iterator[(Long, Long)] {
+          private var cnt = 0L; private var xor = 0L; private var sum = 0L
+          private var flushed = false
+          override def hasNext: Boolean = {
+            val h = it.hasNext
+            if (!h && !flushed) {
+              flushed = true
+              acc.add((org.apache.spark.TaskContext.getPartitionId(), (cnt, xor, sum)))
+            }
+            h
+          }
+          override def next(): (Long, Long) = {
+            val e = it.next()
+            val h = Components.edgeHash(e._1, e._2)
+            cnt += 1; xor ^= h; sum += h
+            e
+          }
+        }
+      }.toDF("u", "v")
+      val out = if (reliable) tagged.checkpoint(true) else tagged.localCheckpoint(true)
+      val parts = acc.value.values
+      (out,
+        (parts.map(_._1).sum, parts.foldLeft(0L)(_ ^ _._2), parts.map(_._3).sum))
+    }
     // a superseded round's checkpoint files are dead the moment the next
     // round is materialized — delete them, or O(rounds) full edge-list copies
     // accumulate on checkpoint storage (the cleaner does not remove them by
@@ -105,18 +143,17 @@ object Components {
         p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
       }
     }
-    var edges = truncate(canonical(
+    var (edges, fp) = truncate(canonical(
       pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
         .where(col("u").isNotNull && col("v").isNotNull)))
 
-    var fp = fingerprint(edges)
     var rounds = 0
     var converged = fp._1 == 0L // empty input: already done
     while (!converged && rounds < maxRounds) {
       val prev = edges
-      edges = truncate(canonical(smallStar(largeStar(edges))))
+      val (next, nextFp) = truncate(canonical(smallStar(largeStar(edges))))
+      edges = next
       rounds += 1
-      val nextFp = fingerprint(edges)
       converged = nextFp == fp
       fp = nextFp
       release(prev)
@@ -164,13 +201,35 @@ object Components {
     neighbors.unionAll(mins.select(col("u"), col("m").as("v")))
   }
 
-  /** One-job set fingerprint of the canonical edge list: (count, xor of
-    * per-edge xxhash64). Order-insensitive, deterministic for a given set.
+  /** splitmix64 finalizer — the per-edge mix feeding the set fingerprint. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+  private[ml] def edgeHash(u: Long, v: Long): Long =
+    mix64(mix64(u) ^ java.lang.Long.rotateLeft(mix64(v), 1))
+
+  /** Per-partition (count, xor, sum) fingerprint slots with REPLACE
+    * semantics: re-adding a partition's value (checkpoint recompute job,
+    * task retry, speculative duplicate) overwrites with the identical value
+    * instead of double-counting.
     */
-  private def fingerprint(edges: DataFrame): (Long, Long) = {
-    val row = edges
-      .agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)))
-      .head()
-    (row.getLong(0), row.getLong(1))
+  private final class FingerprintAcc
+      extends org.apache.spark.util.AccumulatorV2[
+        (Int, (Long, Long, Long)), Map[Int, (Long, Long, Long)]] {
+    private val m = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Long)]()
+    override def isZero: Boolean = m.isEmpty
+    override def copy(): FingerprintAcc = { val c = new FingerprintAcc; c.m.putAll(m); c }
+    override def reset(): Unit = m.clear()
+    override def add(v: (Int, (Long, Long, Long))): Unit = m.put(v._1, v._2)
+    override def merge(
+        o: org.apache.spark.util.AccumulatorV2[(Int, (Long, Long, Long)), Map[Int, (Long, Long, Long)]]): Unit =
+      o.value.foreach { case (k, v) => m.put(k, v) }
+    override def value: Map[Int, (Long, Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      m.asScala.toMap
+    }
   }
 }
