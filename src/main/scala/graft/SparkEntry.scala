@@ -301,15 +301,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // ---- media plumbing (stubbed codec; deterministic) ----
+    // ---- media decode: REAL PNG bytes (generator closed forms) -> JDK
+    // ImageIO decode -> measured dims/channels/per-channel pixel means, with
+    // ids % 17 == 0 carrying corrupt bytes through the error channel
+    // (decode_ok = false, null facts, row kept). Every output value is either
+    // measured from real pixels or the oracle's closed form of the id ----
     "q25_media_decode" -> ((s, dir) => {
       val docs = InterleavedDocs.fromDocuments(s, dir)
-      val media = docs.select(col("doc_id"), explode(col("spans")).as("span"))
+      val media = docs.select(col("doc_id"), col("id"), explode(col("spans")).as("span"))
         .where(col("span.kind") === "image")
-        .select(col("doc_id"), col("span.media_ref").as("media_ref"))
-        .withColumn("blob", vps.media.MediaPipeline.synthesizeBlob(col("media_ref")))
-      vps.media.MediaPipeline.decode(media, "blob")
-        .select(col("doc_id"), col("media_kind"), col("width"), col("height"))
+        .select(col("doc_id"), col("id"), col("span.media_ref").as("media_ref"))
+        .withColumn("blob", vps.media.MediaPipeline.synthesizeImageBlob(col("id")))
+      vps.media.MediaPipeline.decode(media, "blob", new vps.media.ImageIoCodec)
+        .select(col("doc_id"), col("media_kind"),
+          col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          col("mean_r").cast("long").as("mean_r"), col("mean_g").cast("long").as("mean_g"),
+          col("mean_b").cast("long").as("mean_b"), col("decode_ok"))
         .orderBy("doc_id")
     }),
 
@@ -858,9 +866,22 @@ object SparkEntry {
            |  FROM range(40) t(i))
            |SELECT pt_id, 'r' || CAST(poly_id AS VARCHAR) AS region FROM pts JOIN polys
            |  ON lon >= lon0 AND lon <= lon0 + 15 AND lat >= lat0 AND lat <= lat0 + 12
-           |ORDER BY pt_id, region""".stripMargin
+           |ORDER BY pt_id, region""".stripMargin,
+      "q25_media_decode" -> {
+        import vps.media.MediaPipeline._
+        s"""SELECT 'doc' || CAST(doc_id AS VARCHAR) AS doc_id,
+           |  CASE WHEN $corruptSql THEN NULL ELSE 'image' END AS media_kind,
+           |  CASE WHEN $corruptSql THEN NULL ELSE $widthSql END AS width,
+           |  CASE WHEN $corruptSql THEN NULL ELSE $heightSql END AS height,
+           |  CASE WHEN $corruptSql THEN NULL ELSE 3 END AS channels,
+           |  CASE WHEN $corruptSql THEN NULL ELSE $redSql END AS mean_r,
+           |  CASE WHEN $corruptSql THEN NULL ELSE $greenSql END AS mean_g,
+           |  CASE WHEN $corruptSql THEN NULL ELSE $blueSql END AS mean_b,
+           |  NOT ($corruptSql) AS decode_ok
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }
       // q15/q16/q17 (minhash/simhash/embedding near-dup), q22 (langid),
-      // q23 (fingerprint), q25 (media): custom hash kernels — not ANSI-SQL
+      // q23 (fingerprint): custom hash kernels — not ANSI-SQL
       // expressible; the driver records rows-only checks, ScalaTest carries
       // the correctness gate (planted-duplicate oracles in PipelineOpsSpec).
     )

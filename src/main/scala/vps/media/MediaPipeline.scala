@@ -1,19 +1,22 @@
 package vps.media
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: media as opaque `binary` + typed metadata, with
-  * decode / feature-extract / resize / frame-sample as *batched* partition-level
+  * decode / feature-extract / frame-sample as *batched* partition-level
   * transforms (the Scala analogue of `mapInPandas`: one vectorized call per
   * batch, not per row).
   *
-  * The actual codec is STUBBED (no image/audio libs in this container —
-  * [[StubCodec]] synthesizes deterministic pixels/samples from the bytes); the
-  * Spark-side contract — schema, batch shape, partitioning, null passthrough —
-  * is real and tested. Swap [[MediaCodec]] for a JNI/ImageIO-backed impl on a
-  * real cluster.
+  * The default codec is REAL: [[ImageIoCodec]] decodes PNG/JPEG/GIF/BMP bytes
+  * with JDK `javax.imageio` (no external jars), walks the actual pixel raster
+  * for per-channel means + a luma histogram feature, and routes undecodable
+  * bytes to an explicit error channel (`decode_ok = false`, null facts — the
+  * row survives). Readers are cached per task and `ImageIO` disk caching is
+  * off, so decode memory is bounded by `batchSize` x image size.
+  * [[StubCodec]] remains for plumbing tests that want arbitrary `media_kind`s
+  * without real bytes.
   */
 object MediaPipeline {
 
@@ -23,15 +26,31 @@ object MediaPipeline {
     StructField("width", IntegerType),
     StructField("height", IntegerType),
     StructField("n_frames", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("mean_r", DoubleType),
+    StructField("mean_g", DoubleType),
+    StructField("mean_b", DoubleType),
+    StructField("decode_ok", BooleanType),
     StructField("feature", ArrayType(FloatType))))
 
   trait MediaCodec extends Serializable {
-    /** Decode a batch; one output per input (null in -> null fields out). */
+    /** Decode a batch; one output per input (null in -> null out; undecodable
+      * in -> `Decoded.failed`).
+      */
     def decodeBatch(batch: Array[Array[Byte]]): Array[Decoded]
   }
-  final case class Decoded(kind: String, width: Int, height: Int, nFrames: Int, feature: Array[Float])
+  final case class Decoded(kind: String, width: Int, height: Int, nFrames: Int,
+      channels: Int, meanR: Double, meanG: Double, meanB: Double, ok: Boolean,
+      feature: Array[Float])
+  object Decoded {
+    /** The error-channel value: decode attempted and failed. */
+    val failed: Decoded = Decoded(null, 0, 0, 0, 0, 0, 0, 0, ok = false, null)
+  }
 
-  /** Deterministic fake: dims and a 16-dim feature derived from the bytes. */
+  /** Deterministic fake (no real bytes): dims and a 16-dim feature derived
+    * from a content hash. Plumbing tests only — [[ImageIoCodec]] is the
+    * production default.
+    */
   object StubCodec extends MediaCodec {
     override def decodeBatch(batch: Array[Array[Byte]]): Array[Decoded] =
       batch.map { bytes =>
@@ -47,21 +66,70 @@ object MediaPipeline {
           val frames = if (kind == "video") 1 + math.floorMod(h >> 24, 300).toInt else 1
           val feat = Array.tabulate(16)(i =>
             (math.floorMod(h >> (i * 3), 1000) / 1000.0f) - 0.5f)
-          Decoded(kind, width, height, frames, feat)
+          Decoded(kind, width, height, frames, 3,
+            math.floorMod(h, 256).toDouble, math.floorMod(h >> 4, 256).toDouble,
+            math.floorMod(h >> 9, 256).toDouble, ok = true, feat)
         }
       }
   }
 
-  /** Synthesize an opaque media blob column from a media_ref (deterministic —
-    * the sandbox stand-in for fetching bytes from object storage).
+  // ---- deterministic image synthesis (the sandbox stand-in for object
+  // storage) — every parameter is a closed form of the numeric id so the
+  // DuckDB oracle can recompute what the decoder must measure ----
+
+  /** ids divisible by this get deliberately undecodable bytes (error channel). */
+  val CorruptEvery = 17L
+  def widthFor(id: Long): Int = 16 + math.floorMod(id * 37, 48).toInt
+  def heightFor(id: Long): Int = 16 + math.floorMod(id * 53, 48).toInt
+  def redFor(id: Long): Int = math.floorMod(id * 101, 256).toInt
+  def greenFor(id: Long): Int = math.floorMod(id * 151, 256).toInt
+  def blueFor(id: Long): Int = math.floorMod(id * 197, 256).toInt
+
+  /** SQL fragments (over the numeric `doc_id`) for the DuckDB oracle. */
+  val corruptSql = "doc_id % 17 = 0"
+  val widthSql = "16 + (doc_id * 37) % 48"
+  val heightSql = "16 + (doc_id * 53) % 48"
+  val redSql = "(doc_id * 101) % 256"
+  val greenSql = "(doc_id * 151) % 256"
+  val blueSql = "(doc_id * 197) % 256"
+
+  def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Real PNG bytes for `id` — a constant-color `widthFor x heightFor` image
+    * (PNG is lossless, so the decoder's measured means equal the constants
+    * exactly) — or deliberately corrupt bytes when `id % CorruptEvery == 0`.
     */
-  def synthesizeBlob(ref: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    sha2(ref, 256).cast("binary")
+  def imageBlobFor(id: Long): Array[Byte] =
+    if (math.floorMod(id, CorruptEvery) == 0L) s"NOTANIMAGE:$id".getBytes("UTF-8")
+    else {
+      val img = new java.awt.image.BufferedImage(
+        widthFor(id), heightFor(id), java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val g2 = img.createGraphics()
+      g2.setColor(new java.awt.Color(redFor(id), greenFor(id), blueFor(id)))
+      g2.fillRect(0, 0, img.getWidth, img.getHeight)
+      g2.dispose()
+      encodePng(img)
+    }
+
+  /** Column form of [[imageBlobFor]]. */
+  def synthesizeImageBlob(id: Column): Column = {
+    val f = udf((i: Long) => imageBlobFor(i))
+    f(id.cast("long"))
+  }
+
+  /** Legacy opaque-blob synthesizer (hash bytes; pairs with [[StubCodec]]). */
+  def synthesizeBlob(ref: Column): Column = sha2(ref, 256).cast("binary")
 
   /** Append decoded fields. Batched: one codec call per `batchSize` rows — the
-    * mapInPandas batch-shape contract.
+    * mapInPandas batch-shape contract. Null blob -> all-null fields (no decode
+    * attempted, `decode_ok` null); undecodable blob -> null facts +
+    * `decode_ok = false`.
     */
-  def decode(df: DataFrame, blobCol: String, codec: MediaCodec = StubCodec,
+  def decode(df: DataFrame, blobCol: String, codec: MediaCodec = new ImageIoCodec,
       batchSize: Int = 256): DataFrame = {
     val outSchema = StructType(df.schema.fields ++ decodedSchema.fields)
     val blobIdx = df.schema.fieldIndex(blobCol)
@@ -70,8 +138,13 @@ object MediaPipeline {
         val blobs = batch.map(_.getAs[Array[Byte]](blobIdx)).toArray
         val decoded = codec.decodeBatch(blobs)
         batch.iterator.zip(decoded.iterator).map { case (row, d) =>
-          if (d == null) Row.fromSeq(row.toSeq ++ Seq(null, null, null, null, null))
-          else Row.fromSeq(row.toSeq ++ Seq(d.kind, d.width, d.height, d.nFrames, d.feature.toSeq))
+          if (d == null)
+            Row.fromSeq(row.toSeq ++ Seq(null, null, null, null, null, null, null, null, null, null))
+          else if (!d.ok)
+            Row.fromSeq(row.toSeq ++ Seq(null, null, null, null, null, null, null, null, false, null))
+          else
+            Row.fromSeq(row.toSeq ++ Seq(d.kind, d.width, d.height, d.nFrames, d.channels,
+              d.meanR, d.meanG, d.meanB, true, d.feature.toSeq))
         }
       }
     }(Encoders.row(outSchema))
@@ -83,4 +156,74 @@ object MediaPipeline {
       when(col("media_kind") === "video",
         sequence(lit(0), col("n_frames") - 1, lit(stride)))
         .otherwise(array(lit(0))))
+}
+
+/** JDK `javax.imageio` image decoder: PNG/JPEG/GIF/BMP by magic-byte sniff,
+  * one cached `ImageReader` per format PER TASK (the codec instance is
+  * deserialized into each task's closure, so the cache is task-scoped — no
+  * cross-thread sharing of the non-thread-safe readers), in-memory
+  * `ImageInputStream` (disk cache off). Emits real measurements: dimensions,
+  * frame count (animated GIF > 1), color-model component count, per-channel
+  * pixel means (full raster walk, row-bulk `getRGB`), and a 16-bin luma
+  * histogram as the feature vector. Bytes that sniff to no known format or
+  * fail to decode become [[MediaPipeline.Decoded.failed]].
+  */
+final class ImageIoCodec extends MediaPipeline.MediaCodec {
+  import MediaPipeline.Decoded
+
+  @transient private lazy val readers =
+    new java.util.HashMap[String, javax.imageio.ImageReader]()
+
+  private def formatOf(b: Array[Byte]): String =
+    if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P'.toByte && b(2) == 'N'.toByte) "png"
+    else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) "jpeg"
+    else if (b.length >= 3 && b(0) == 'G'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte) "gif"
+    else if (b.length >= 2 && b(0) == 'B'.toByte && b(1) == 'M'.toByte) "bmp"
+    else null
+
+  override def decodeBatch(batch: Array[Array[Byte]]): Array[Decoded] =
+    batch.map { bytes =>
+      if (bytes == null) null
+      else {
+        val fmt = formatOf(bytes)
+        if (fmt == null) Decoded.failed
+        else
+          try {
+            javax.imageio.ImageIO.setUseCache(false)
+            val reader = readers.computeIfAbsent(fmt,
+              f => javax.imageio.ImageIO.getImageReadersByFormatName(f).next())
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            try {
+              reader.setInput(iis, false, true)
+              val nFrames =
+                try { val n = reader.getNumImages(true); if (n > 0) n else 1 }
+                catch { case _: Exception => 1 }
+              val img = reader.read(0)
+              val w = img.getWidth
+              val h = img.getHeight
+              var sr = 0L; var sg = 0L; var sb = 0L
+              val hist = new Array[Long](16)
+              val rowBuf = new Array[Int](w)
+              var y = 0
+              while (y < h) {
+                img.getRGB(0, y, w, 1, rowBuf, 0, w)
+                var x = 0
+                while (x < w) {
+                  val rgb = rowBuf(x)
+                  val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+                  sr += r; sg += g; sb += b
+                  hist(((r * 299 + g * 587 + b * 114) / 1000) >> 4) += 1
+                  x += 1
+                }
+                y += 1
+              }
+              val n = w.toLong * h
+              Decoded("image", w, h, nFrames, img.getColorModel.getNumComponents,
+                sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, ok = true,
+                hist.map(c => (c.toDouble / n).toFloat))
+            } finally iis.close()
+          } catch { case scala.util.control.NonFatal(_) => Decoded.failed }
+      }
+    }
 }
