@@ -35,19 +35,30 @@ object DirtyTiles {
     * replication batch touches a bounded tile set, so this replaces a world
     * re-render with a dirty-subset render whose tiles are byte-identical to
     * a full [[vps.tiling.TilePipeline.tileZoom]] of the snapshot.
-    * `diffs` must be a bounded batch (e.g. one micro-batch / one
-    * replication sequence window): its dirty-key set is driver-held.
+    *
+    * A dirty set up to `maxDriverKeys` collects to the driver and prunes via
+    * literal predicates (the cheapest plan for a replication micro-batch);
+    * anything larger — a backfill window, a huge diff batch — stays
+    * distributed and renders through the join-based
+    * [[vps.tiling.TilePipeline.tileZoomSubsetFrame]] (byte-identical output,
+    * no driver set).
     */
   def refreshTiles(
       snapshot: DataFrame,
       diffs: DataFrame,
       zoom: Int,
-      opts: vps.tiling.TilePipeline.Options = vps.tiling.TilePipeline.Options())
+      opts: vps.tiling.TilePipeline.Options = vps.tiling.TilePipeline.Options(),
+      maxDriverKeys: Int = 16384)
       : org.apache.spark.sql.Dataset[vps.tiling.TileRow] = {
     val spark = snapshot.sparkSession
     import spark.implicits._
-    val dirty = fromDiffs(diffs, zoom)
-      .select(col("x"), col("y")).as[(Int, Int)].collect().toSet
-    vps.tiling.TilePipeline.tileZoomSubset(snapshot, zoom, dirty, opts)
+    val dirty = fromDiffs(diffs, zoom).select(col("x"), col("y"))
+    // limit(cap + 1) answers "does it exceed the cap" and yields the literal
+    // set in one action, without a separate count job
+    val head = dirty.limit(maxDriverKeys + 1).as[(Int, Int)].collect()
+    if (head.length <= maxDriverKeys)
+      vps.tiling.TilePipeline.tileZoomSubset(snapshot, zoom, head.toSet, opts)
+    else
+      vps.tiling.TilePipeline.tileZoomSubsetFrame(snapshot, zoom, dirty, opts)
   }
 }

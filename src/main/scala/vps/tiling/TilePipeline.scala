@@ -110,7 +110,7 @@ object TilePipeline {
     * columns]. Deterministic output: per tile, features sorted by id.
     */
   def tileZoom(input: DataFrame, zoom: Int, opts: Options = Options()): Dataset[TileRow] =
-    tileZoomFiltered(input, zoom, opts, None)
+    tileZoomFiltered(input, zoom, opts, None, None)
 
   /** Re-render ONLY the given tile keys — the incremental-maintenance entry
     * point (pair with `DirtyTiles.fromDiffs`: one replication batch touches a
@@ -134,14 +134,43 @@ object TilePipeline {
     val pre = input.where(arrays_overlap(
       transform(tile_keys(col("geom"), zoom), packKey),
       lit(packed.toArray)))
-    tileZoomFiltered(pre, zoom, opts, Some(packed))
+    tileZoomFiltered(pre, zoom, opts, Some(packed), None)
+  }
+
+  /** [[tileZoomSubset]] for an UNBOUNDED dirty-key set: `dirtyKeys` is a
+    * DataFrame of (x, y) tile keys that never touches the driver. Features
+    * are pruned with a left-semi join of their (original-geometry) exploded
+    * keys against the dirty keys — yielding the dirty feature-id set — and
+    * the exploded keys are then exactly semi-join filtered, so clean tiles
+    * never reach the encoder. The dirty side of both joins is the small side
+    * at replication scale (AQE broadcasts it); a backfill-sized set degrades
+    * to a shuffle join, never to a driver collect. Output tiles are
+    * byte-identical to [[tileZoom]] restricted to the dirty keys.
+    */
+  def tileZoomSubsetFrame(
+      input: DataFrame,
+      zoom: Int,
+      dirtyKeys: DataFrame,
+      opts: Options = Options()): Dataset[TileRow] = {
+    val dk = dirtyKeys
+      .select(col("x").cast("int").as("x"), col("y").cast("int").as("y"))
+      .distinct()
+    val withId = input.withColumn("id", col("id").cast("long"))
+    val dirtyIds = withId
+      .select(col("id"), explode(tile_keys(col("geom"), zoom)).as("k"))
+      .select(col("id"), col("k.x").as("x"), col("k.y").as("y"))
+      .join(dk, Seq("x", "y"), "left_semi")
+      .select(col("id")).distinct()
+    val pre = withId.join(dirtyIds, Seq("id"), "left_semi")
+    tileZoomFiltered(pre, zoom, opts, None, Some(dk))
   }
 
   private def tileZoomFiltered(
       input: DataFrame,
       zoom: Int,
       opts: Options,
-      subset: Option[Set[Long]]): Dataset[TileRow] = {
+      subset: Option[Set[Long]],
+      subsetFrame: Option[DataFrame]): Dataset[TileRow] = {
     val simplified =
       if (opts.simplify)
         input.withColumn("geom",
@@ -156,10 +185,12 @@ object TilePipeline {
       .select(col("id").cast("long").as("id"), layerExpr.as("layer"), col("geom"),
         explode(tile_keys(col("geom"), zoom)).as("k"))
       .select(col("id"), col("layer"), col("geom"), col("k.x").as("x"), col("k.y").as("y"))
-    val exploded = subset match {
-      case Some(p) =>
+    val exploded = (subset, subsetFrame) match {
+      case (Some(p), _) =>
         exploded0.where((col("x").cast("long") * 4294967296L + col("y")).isin(p.toSeq: _*))
-      case None => exploded0
+      case (None, Some(dk)) =>
+        exploded0.join(dk, Seq("x", "y"), "left_semi")
+      case _ => exploded0
     }
     packAndEncode(exploded, zoom, opts)
   }

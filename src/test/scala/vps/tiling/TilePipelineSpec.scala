@@ -230,6 +230,30 @@ class TilePipelineSpec extends AnyFunSuite {
     out.foreach(t => assert(t.mvt.toSeq === full((t.x, t.y))))
   }
 
+  test("tileZoomSubsetFrame: join-based dirty set renders byte-identically with no driver set") {
+    val zoom = 5
+    val full = TilePipeline.tileZoom(geoms, zoom).collect()
+      .map(t => (t.x, t.y) -> (t.mvt.toSeq, t.features)).toMap
+    val dirtyKeys = full.keySet.toSeq.sortBy(identity).zipWithIndex
+      .collect { case (k, i) if i % 3 == 1 => k }
+    val dirtyDf = dirtyKeys.toDF("x", "y")
+    val sub = TilePipeline.tileZoomSubsetFrame(geoms, zoom, dirtyDf).collect()
+      .map(t => (t.x, t.y) -> (t.mvt.toSeq, t.features)).toMap
+    assert(sub.keySet === dirtyKeys.toSet)
+    dirtyKeys.foreach { k => assert(sub(k) === full(k), s"tile $k must be byte-identical") }
+  }
+
+  test("refreshTiles beyond the driver-collect cap falls back to the join path, identically") {
+    val zoom = 5
+    val diffs = vps.streaming.Diffs.frame(spark, 2, 30)
+    // cap of 1 forces every real batch over the limit -> join-based path
+    val capped = vps.streaming.DirtyTiles.refreshTiles(geoms, diffs, zoom, maxDriverKeys = 1)
+      .collect().map(t => (t.x, t.y) -> t.mvt.toSeq).toMap
+    val viaSet = vps.streaming.DirtyTiles.refreshTiles(geoms, diffs, zoom)
+      .collect().map(t => (t.x, t.y) -> t.mvt.toSeq).toMap
+    assert(capped === viaSet, "join path and driver-set path must render the same bytes")
+  }
+
   test("pyramidRekey keeps extra input columns visible to the reduce hook") {
     // geoms ids are doc_id*10 + offset (odd), so id % 4 is always odd {1, 3}
     val input = geoms.withColumn("importance", ($"id" % 4).cast("int"))
