@@ -18,10 +18,15 @@ package vps.geom
   *   closed forms on Bessel 1841 + CH1903 translation, Swisstopo public
   *   constants, ~1-2 m — the CHENyx06 grid is a native-proj feature)
   * - EPSG:5070 (NAD83 / Conus Albers equal-area conic — Snyder 1987 §14)
-  * - raw proj4 parameter strings (`+proj=tmerc/lcc/aea/somerc/utm/longlat/webmerc`
-  *   with +ellps/+a/+rf/+datum and optional +towgs84 Helmert), parsed onto
-  *   the same engines — the breadth path for CRSs without a named preset
-  *   (the reference accepts any proj4 CRS, `vectortile/package.scala:28-39`)
+  * - EPSG:3395 (WGS84 World Mercator — ellipsoidal Mercator, Snyder 1987 §7,
+  *   variants A (+k) and B (+lat_ts))
+  * - EPSG:3413 / 3031 (NSIDC Arctic / Antarctic polar stereographic —
+  *   Snyder 1987 §21, variants A and B; the standard polar-raster grids)
+  * - raw proj4 parameter strings (`+proj=tmerc/lcc/aea/somerc/utm/merc/
+  *   stere(polar)/longlat/webmerc` with +ellps/+a/+rf/+datum and optional
+  *   +towgs84 Helmert), parsed onto the same engines — the breadth path for
+  *   CRSs without a named preset (the reference accepts any proj4 CRS,
+  *   `vectortile/package.scala:28-39`)
   *
   * All transforms route through 4326, so any supported pair composes.
   */
@@ -422,15 +427,25 @@ object Proj {
       val theta = math.atan2(sgn * dx, sgn * dy)
       val lam = theta / nC + math.toRadians(lon0)
       val qv = (bigC - (r * nC / a) * (r * nC / a)) / nC
-      // Snyder 3-16 latitude iteration from phi = asin(q/2)
+      // q(+-pi/2): inputs at/beyond the polar limit short-circuit to the pole
+      // instead of dividing by cos(phi) = 0 in the iteration below
+      val qPolar = q(math.Pi / 2.0)
+      if (math.abs(qv) >= qPolar * (1.0 - 1e-12))
+        return (math.toDegrees(lam), if (qv > 0) 90.0 else -90.0)
+      // Snyder 3-16 latitude iteration from phi = asin(q/2), clamped away
+      // from the poles (the correction divides by cos(phi)), stopping once
+      // the update falls below tolerance
+      val phiMax = math.Pi / 2.0 - 1e-9
       var phi = math.asin(math.min(1.0, math.max(-1.0, qv / 2.0)))
       var i = 0
-      while (i < 12) {
+      var delta = 1.0
+      while (i < 20 && math.abs(delta) > 1e-13) {
         val s = math.sin(phi)
         val onemes2 = 1.0 - e2 * s * s
-        phi += onemes2 * onemes2 / (2.0 * math.cos(phi)) * (
+        delta = onemes2 * onemes2 / (2.0 * math.cos(phi)) * (
           qv / (1.0 - e2) - s / onemes2 +
             (1.0 / (2.0 * e)) * math.log((1.0 - e * s) / (1.0 + e * s)))
+        phi = math.min(phiMax, math.max(-phiMax, phi + delta))
         i += 1
       }
       (math.toDegrees(lam), math.toDegrees(phi))
@@ -440,6 +455,148 @@ object Proj {
   /** EPSG:5070 — NAD83 / Conus Albers (EPSG registry parameters). */
   val ConusAlbers: Aea = Aea(lat0 = 23.0, lat1 = 29.5, lat2 = 45.5, lon0 = -96.0,
     fe = 0.0, fn = 0.0)
+
+  /** Ellipsoidal Mercator (Snyder 1987 §7 / EPSG Mercator variants A and B).
+    * `k0` is the scale on the equator; a standard parallel (`lat_ts`,
+    * variant B) is expressed as k0 = m(lat_ts) by the companion builder.
+    * The spherical limit (invF infinite) degrades exactly to the classic
+    * sphere formulas (e = 0 nulls every correction term).
+    */
+  final case class Merc(
+      lon0: Double, k0: Double, fe: Double, fn: Double,
+      a: Double = 6378137.0, invF: Double = 298.257223563) extends Crs with PlaneProjection {
+    private val f = if (invF.isInfinite) 0.0 else 1.0 / invF
+    private val e = math.sqrt(f * (2.0 - f))
+
+    /** point scale factor at latitude `lat` (k0 on the equator) */
+    def scaleAt(lat: Double): Double = {
+      val phi = math.toRadians(lat)
+      val s = math.sin(phi)
+      k0 * math.sqrt(1.0 - e * e * s * s) / math.cos(phi)
+    }
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat)
+      val s = math.sin(phi)
+      val y = a * k0 * (math.log(math.tan(math.Pi / 4.0 + phi / 2.0)) -
+        (if (e == 0.0) 0.0 else e / 2.0 * math.log((1.0 + e * s) / (1.0 - e * s))))
+      (fe + a * k0 * (math.toRadians(lon) - math.toRadians(lon0)), fn + y)
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val lam = math.toRadians(lon0) + (x - fe) / (a * k0)
+      val t = math.exp(-(y - fn) / (a * k0))
+      var phi = math.Pi / 2.0 - 2.0 * math.atan(t)
+      var i = 0
+      while (i < 8) { // quadratic convergence (same iteration as Lcc)
+        val s = math.sin(phi)
+        phi = math.Pi / 2.0 -
+          2.0 * math.atan(t * math.pow((1.0 - e * s) / (1.0 + e * s), e / 2.0))
+        i += 1
+      }
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+  object Merc {
+    /** Variant B: scale 1 on the standard parallels ±latTs. */
+    def withStandardParallel(latTs: Double, lon0: Double, fe: Double, fn: Double,
+        a: Double = 6378137.0, invF: Double = 298.257223563): Merc = {
+      val f = if (invF.isInfinite) 0.0 else 1.0 / invF
+      val e2 = f * (2.0 - f)
+      val phiTs = math.toRadians(latTs)
+      val s = math.sin(phiTs)
+      Merc(lon0, math.cos(phiTs) / math.sqrt(1.0 - e2 * s * s), fe, fn, a, invF)
+    }
+  }
+
+  /** EPSG:3395 — WGS 84 / World Mercator (ellipsoidal, k0 = 1). */
+  val WorldMercator: Merc = Merc(lon0 = 0.0, k0 = 1.0, fe = 0.0, fn = 0.0)
+
+  /** Polar stereographic (Snyder 1987 §21 / EPSG Polar Stereographic
+    * variants A and B) — the standard projection for polar rasters
+    * (EPSG:3413 Arctic, EPSG:3031 Antarctic). `north` picks the aspect; the
+    * south aspect evaluates the north forms at (-lat) with the y-axis
+    * flipped (Snyder 21-4). Scale is `k0` at the pole (variant A) or 1 on
+    * the `latTs` standard parallel (variant B, via the companion builder).
+    * Oblique stereographic is out of scope (polar is what polar data uses).
+    */
+  final case class PolarStereo(
+      north: Boolean, lon0: Double, k0: Double, fe: Double, fn: Double,
+      a: Double = 6378137.0, invF: Double = 298.257223563) extends Crs with PlaneProjection {
+    private val f = 1.0 / invF
+    private val e2 = f * (2.0 - f)
+    private val e = math.sqrt(e2)
+    /** Snyder 15-9 (north-aspect latitude) */
+    private def tOf(phi: Double): Double = {
+      val s = math.sin(phi)
+      math.tan(math.Pi / 4.0 - phi / 2.0) /
+        math.pow((1.0 - e * s) / (1.0 + e * s), e / 2.0)
+    }
+    /** rho = 2 a k0 t / sqrt((1+e)^(1+e) (1-e)^(1-e))   (Snyder 21-33) */
+    private val rhoF = 2.0 * a * k0 /
+      math.sqrt(math.pow(1.0 + e, 1.0 + e) * math.pow(1.0 - e, 1.0 - e))
+
+    /** point scale factor at latitude `lat` (k0 at the pole) */
+    def scaleAt(lat: Double): Double = {
+      val phiN = if (north) math.toRadians(lat) else -math.toRadians(lat)
+      val s = math.sin(phiN)
+      rhoF * tOf(phiN) * math.sqrt(1.0 - e2 * s * s) / (a * math.cos(phiN))
+    }
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val phiN = if (north) math.toRadians(lat) else -math.toRadians(lat)
+      val dLam = math.toRadians(lon) - math.toRadians(lon0)
+      val rho = rhoF * tOf(phiN)
+      val x = fe + rho * math.sin(dLam)
+      val y = if (north) fn - rho * math.cos(dLam) else fn + rho * math.cos(dLam)
+      (x, y)
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val dx = x - fe
+      val dyN = if (north) -(y - fn) else y - fn
+      val rho = math.hypot(dx, dyN)
+      val t = rho / rhoF
+      var phi = math.Pi / 2.0 - 2.0 * math.atan(t)
+      var i = 0
+      while (i < 8) {
+        val s = math.sin(phi)
+        phi = math.Pi / 2.0 -
+          2.0 * math.atan(t * math.pow((1.0 - e * s) / (1.0 + e * s), e / 2.0))
+        i += 1
+      }
+      val lam = math.toRadians(lon0) + math.atan2(dx, dyN)
+      if (north) (math.toDegrees(lam), math.toDegrees(phi))
+      else (math.toDegrees(lam), -math.toDegrees(phi))
+    }
+  }
+  object PolarStereo {
+    /** Variant B: scale 1 on the `latTs` standard parallel. k0 follows from
+      * equating rho at latTs with a*m(latTs) (Snyder 21-32 vs 21-34).
+      */
+    def withStandardParallel(latTs: Double, lon0: Double, fe: Double, fn: Double,
+        a: Double = 6378137.0, invF: Double = 298.257223563): PolarStereo = {
+      val north = latTs >= 0.0
+      val f = 1.0 / invF
+      val e2 = f * (2.0 - f)
+      val e = math.sqrt(e2)
+      val phiTs = math.toRadians(math.abs(latTs))
+      val s = math.sin(phiTs)
+      val mTs = math.cos(phiTs) / math.sqrt(1.0 - e2 * s * s)
+      val tTs = math.tan(math.Pi / 4.0 - phiTs / 2.0) /
+        math.pow((1.0 - e * s) / (1.0 + e * s), e / 2.0)
+      val k0 = mTs * math.sqrt(math.pow(1.0 + e, 1.0 + e) * math.pow(1.0 - e, 1.0 - e)) /
+        (2.0 * tTs)
+      PolarStereo(north, lon0, k0, fe, fn, a, invF)
+    }
+  }
+
+  /** EPSG:3413 — WGS 84 / NSIDC Sea Ice Polar Stereographic North. */
+  val ArcticPolarStereo: PolarStereo =
+    PolarStereo.withStandardParallel(latTs = 70.0, lon0 = -45.0, fe = 0.0, fn = 0.0)
+  /** EPSG:3031 — WGS 84 / Antarctic Polar Stereographic. */
+  val AntarcticPolarStereo: PolarStereo =
+    PolarStereo.withStandardParallel(latTs = -71.0, lon0 = 0.0, fe = 0.0, fn = 0.0)
 
   // ---- proj4-string front-end --------------------------------------------
 
@@ -507,6 +664,28 @@ object Proj {
       case "webmerc" => WebMercator
       case "merc" if kv.get("a").contains("6378137") && kv.get("b").contains("6378137") =>
         WebMercator // the spherical web-mercator spelling
+      case "merc" =>
+        // general (ellipsoidal) Mercator: +lat_ts (variant B) wins over +k
+        val m = kv.get("lat_ts").map(_.toDouble) match {
+          case Some(ts) => Merc.withStandardParallel(ts, num("lon_0", 0),
+            num("x_0", 0), num("y_0", 0), ea, eInvF)
+          case None => Merc(num("lon_0", 0), k0, num("x_0", 0), num("y_0", 0), ea, eInvF)
+        }
+        if (toWgs.isEmpty) m else Proj4Crs(m, ea, eInvF, toWgs)
+      case "stere" =>
+        val lat0 = num("lat_0", 90.0)
+        require(math.abs(math.abs(lat0) - 90.0) < 1e-9,
+          s"+proj=stere is supported in the polar aspect only (+lat_0=+-90, got $lat0)")
+        val north = lat0 > 0
+        val p = kv.get("lat_ts").map(_.toDouble) match {
+          case Some(ts) =>
+            require((ts >= 0) == north, s"+lat_ts=$ts contradicts +lat_0=$lat0")
+            PolarStereo.withStandardParallel(ts, num("lon_0", 0),
+              num("x_0", 0), num("y_0", 0), ea, eInvF)
+          case None => PolarStereo(north, num("lon_0", 0), k0,
+            num("x_0", 0), num("y_0", 0), ea, eInvF)
+        }
+        if (toWgs.isEmpty) p else Proj4Crs(p, ea, eInvF, toWgs)
       case "utm" =>
         val z = kv.getOrElse("zone",
           throw new IllegalArgumentException("+proj=utm needs +zone")).toInt
@@ -538,8 +717,8 @@ object Proj {
           lon0 = num("lon_0", 0), fe = num("x_0", 0), fn = num("y_0", 0),
           a = ea, invF = eInvF), ea, eInvF, toWgs)
       case other => throw new IllegalArgumentException(
-        s"unsupported +proj=$other (supported: longlat, webmerc/merc-spherical, " +
-          "utm, tmerc, lcc, aea)")
+        s"unsupported +proj=$other (supported: longlat, webmerc, merc, " +
+          "utm, tmerc, lcc, aea, somerc, stere-polar)")
     }
   }
 
@@ -559,6 +738,9 @@ object Proj {
       case "epsg:3034" | "3034" => LccEurope
       case "epsg:3978" | "3978" => LccCanada
       case "epsg:5070" | "5070" => ConusAlbers
+      case "epsg:3395" | "3395" => WorldMercator
+      case "epsg:3413" | "3413" => ArcticPolarStereo
+      case "epsg:3031" | "3031" => AntarcticPolarStereo
       case "epsg:27700" | "27700" => BritishNationalGrid
       case "epsg:2056" | "2056" => SwissLv95
       case UtmRe(series, zone) =>
@@ -567,8 +749,8 @@ object Proj {
         Utm(z, south = series == "327")
       case other => throw new IllegalArgumentException(
         s"unsupported CRS '$other' (supported: EPSG:4326, EPSG:3857, " +
-          "EPSG:326xx/327xx, EPSG:2154/3034/3978, EPSG:5070, EPSG:27700, " +
-          "EPSG:2056, or a raw +proj=... string)")
+          "EPSG:326xx/327xx, EPSG:2154/3034/3978, EPSG:5070, EPSG:3395, " +
+          "EPSG:3413, EPSG:3031, EPSG:27700, EPSG:2056, or a raw +proj=... string)")
     }
   }
 
@@ -580,6 +762,8 @@ object Proj {
       case Utm(z, s) => utmToLonLat(x, y, z, s)
       case l: Lcc => l.inverse(x, y)
       case al: Aea => al.inverse(x, y)
+      case m: Merc => m.inverse(x, y)
+      case p: PolarStereo => p.inverse(x, y)
       case Proj4Crs(proj, pa, pInvF, shift) =>
         val (lonD, latD) = proj.inverse(x, y)
         shift match {
@@ -606,6 +790,8 @@ object Proj {
       case Utm(z, s) => lonLatToUtm(lon, lat, z, s)
       case l: Lcc => l.forward(lon, lat)
       case al: Aea => al.forward(lon, lat)
+      case m: Merc => m.forward(lon, lat)
+      case p: PolarStereo => p.forward(lon, lat)
       case Proj4Crs(proj, pa, pInvF, shift) =>
         shift match {
           case None => proj.forward(lon, lat)

@@ -314,4 +314,123 @@ class ProjSpec extends AnyFunSuite {
     val (lon2, lat2) = Proj.transform(ue2, un2, Proj.Utm(31, south = false), Proj.LonLat)
     assert(math.abs(lon2 - 2.35) < 1e-9 && math.abs(lat2 - 48.85) < 1e-9)
   }
+
+  /** ellipsoidal parallel arc: dLam x nu x cos(phi) */
+  private def parallelArc(lat: Double, dLonDeg: Double, a: Double, invF: Double): Double = {
+    val f = 1.0 / invF; val e2 = f * (2 - f)
+    val phi = math.toRadians(lat)
+    val nu = a / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
+    math.toRadians(dLonDeg) * nu * math.cos(phi)
+  }
+  /** ellipsoidal meridian arc over a small dLat: dPhi x M(phi) */
+  private def meridianArc(lat: Double, dLatDeg: Double, a: Double, invF: Double): Double = {
+    val f = 1.0 / invF; val e2 = f * (2 - f)
+    val phi = math.toRadians(lat)
+    math.toRadians(dLatDeg) * a * (1 - e2) /
+      math.pow(1 - e2 * math.sin(phi) * math.sin(phi), 1.5)
+  }
+
+  test("polar stereographic 3413/3031: parallel scale 1 at lat_ts, pole at origin, conformal, sub-mm round trips") {
+    Seq((Proj.ArcticPolarStereo, 70.0), (Proj.AntarcticPolarStereo, -71.0)).foreach {
+      case (crs, latTs) =>
+        assert(math.abs(crs.scaleAt(latTs) - 1.0) < 1e-12, s"k(lat_ts) for $crs")
+        // the pole itself maps to the natural origin (FE, FN) = (0, 0)
+        val (px, py) = crs.forward(123.4, if (latTs > 0) 90.0 else -90.0)
+        assert(math.abs(px) < 1e-6 && math.abs(py) < 1e-6)
+        // independent finite differences: scale along the parallel == scale
+        // along the meridian == closed-form scaleAt (conformal + correct k)
+        Seq(latTs, if (latTs > 0) 80.0 else -80.0, if (latTs > 0) 62.0 else -62.0).foreach { lat =>
+          val sgn = math.signum(lat)
+          val (x1, y1) = crs.forward(30.0, lat)
+          val (x2, y2) = crs.forward(30.0 + 1e-5, lat)
+          val (x3, y3) = crs.forward(30.0, lat + sgn * -1e-5) // step toward the equator
+          val kPar = math.hypot(x2 - x1, y2 - y1) / parallelArc(lat, 1e-5, 6378137.0, 298.257223563)
+          val kMer = math.hypot(x3 - x1, y3 - y1) / meridianArc(lat, 1e-5, 6378137.0, 298.257223563)
+          assert(math.abs(kPar - crs.scaleAt(lat)) < 1e-6, s"kPar($lat)=$kPar vs ${crs.scaleAt(lat)}")
+          assert(math.abs(kMer - crs.scaleAt(lat)) < 1e-6, s"kMer($lat)=$kMer vs ${crs.scaleAt(lat)}")
+        }
+        for (lon <- Seq(-179.0, -45.0, 0.0, 60.0, 179.0); lat <- Seq(60.0, 71.5, 85.0, 89.9)) {
+          val la = if (latTs > 0) lat else -lat
+          val (x, y) = crs.forward(lon, la)
+          val (lon2, lat2) = crs.inverse(x, y)
+          assert(math.abs(lat2 - la) < 1e-9, s"lat round trip $lon,$la")
+          val lonDiff = (((lon2 - lon) % 360) + 540) % 360 - 180
+          assert(math.abs(lonDiff) < 1e-9, s"lon round trip $lon,$la -> $lon2")
+        }
+    }
+  }
+
+  test("polar stereographic EPSG guidance-note anchors (variant B Australian Antarctic, variant A UPS North)") {
+    // EPSG GN7-2 Polar Stereographic variant B worked example
+    // (WGS 84 / Australian Antarctic Polar Stereographic, EPSG:3032):
+    // phi = 75S, lam = 120E -> E 7,255,380.79 / N 7,053,389.56
+    val aus = Proj.parse("+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=70 " +
+      "+x_0=6000000 +y_0=6000000 +ellps=WGS84")
+    val (e1, n1) = Proj.transform(120.0, -75.0, Proj.LonLat, aus)
+    assert(math.abs(e1 - 7255380.79) < 0.05, s"E=$e1")
+    assert(math.abs(n1 - 7053389.56) < 0.05, s"N=$n1")
+    // EPSG GN7-2 Polar Stereographic variant A worked example
+    // (WGS 84 / UPS North, EPSG:5041): phi = 73N, lam = 44E ->
+    // E 3,320,416.75 / N 632,668.43
+    val ups = Proj.parse("+proj=stere +lat_0=90 +k=0.994 +lon_0=0 " +
+      "+x_0=2000000 +y_0=2000000 +ellps=WGS84")
+    val (e2, n2) = Proj.transform(44.0, 73.0, Proj.LonLat, ups)
+    assert(math.abs(e2 - 3320416.75) < 0.05, s"E=$e2")
+    assert(math.abs(n2 - 632668.43) < 0.05, s"N=$n2")
+    // round trip through the parsed CRS
+    val (lonB, latB) = Proj.transform(e1, n1, aus, Proj.LonLat)
+    assert(math.abs(lonB - 120.0) < 1e-8 && math.abs(latB - -75.0) < 1e-8)
+  }
+
+  test("ellipsoidal Mercator (3395): equator scale 1, conformal, round trips, diverges from the sphere") {
+    val m = Proj.WorldMercator
+    assert(Proj.parse("EPSG:3395") === m)
+    assert(math.abs(m.scaleAt(0.0) - 1.0) < 1e-12)
+    Seq(0.0, 20.0, 45.0, -65.0).foreach { lat =>
+      val (x1, y1) = m.forward(10.0, lat)
+      val (x2, y2) = m.forward(10.0 + 1e-5, lat)
+      val (x3, y3) = m.forward(10.0, lat + 1e-5)
+      val kPar = math.hypot(x2 - x1, y2 - y1) / parallelArc(lat, 1e-5, 6378137.0, 298.257223563)
+      val kMer = math.hypot(x3 - x1, y3 - y1) / meridianArc(lat, 1e-5, 6378137.0, 298.257223563)
+      assert(math.abs(kPar - m.scaleAt(lat)) < 1e-6 && math.abs(kMer - m.scaleAt(lat)) < 1e-6,
+        s"conformality at $lat: $kPar / $kMer vs ${m.scaleAt(lat)}")
+    }
+    for (lon <- Seq(-179.0, 0.0, 55.5); lat <- Seq(-84.0, -33.3, 0.0, 45.0, 84.0)) {
+      val (x, y) = m.forward(lon, lat)
+      val (lon2, lat2) = m.inverse(x, y)
+      assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9, s"round trip $lon,$lat")
+    }
+    // the ellipsoidal northing is smaller than the spherical web-mercator one
+    // (known divergence, ~0.3% at mid-latitudes, zero at the equator)
+    val (_, y3395) = m.forward(0.0, 45.0)
+    val y3857 = TileMath.latToMercY(45.0)
+    assert(y3395 < y3857 && y3395 > 0.99 * y3857, s"$y3395 vs $y3857")
+  }
+
+  test("Mercator variant B EPSG guidance-note anchor (Caspian Sea, Krassowsky)") {
+    // EPSG GN7-2 Mercator variant B worked example (Pulkovo 1942 / Caspian
+    // Sea Mercator-style): lat_ts = 42N, lon_0 = 51E, Krassowsky 1940
+    // (a = 6378245, 1/f = 298.3); phi = 53N, lam = 53E ->
+    // E 165,704.29 / N 5,171,848.07
+    val caspian = Proj.parse("+proj=merc +lat_ts=42 +lon_0=51 +a=6378245 +rf=298.3")
+    val (e, n) = Proj.transform(53.0, 53.0, Proj.LonLat, caspian)
+    assert(math.abs(e - 165704.29) < 0.05, s"E=$e")
+    assert(math.abs(n - 5171848.07) < 0.05, s"N=$n")
+  }
+
+  test("Albers inverse is pole-safe (guarded 3-16 iteration)") {
+    val crs = Proj.ConusAlbers
+    val (xp, yp) = crs.forward(-96.0, 90.0)
+    val (lonP, latP) = crs.inverse(xp, yp)
+    assert(!latP.isNaN && math.abs(latP - 90.0) < 1e-7, s"pole inverse -> $latP")
+    // near-pole round trip converges (the unguarded loop oscillated/NaN'd).
+    // q(phi) approaches its polar limit quadratically in cos(phi), so the
+    // last ~1e-6 deg before the pole is inherently ill-conditioned — allow
+    // ~1 m there, sub-mm elsewhere
+    Seq((89.999999, 1e-5), (89.9, 1e-8), (-89.9, 1e-8)).foreach { case (lat, tol) =>
+      val (x, y) = crs.forward(-96.0, lat)
+      val (_, lat2) = crs.inverse(x, y)
+      assert(!lat2.isNaN && math.abs(lat2 - lat) < tol, s"$lat -> $lat2")
+    }
+  }
 }
