@@ -526,6 +526,40 @@ object SparkEntry {
       vps.joins.Geocode.withRegions(pts, regions)
         .select(col("pt_id"), explode(col("regions")).as("region"))
         .orderBy("pt_id", "region")
+    }),
+
+    // ---- simhash with a SQL-provable projection (q27's pattern): pairs at
+    // hamming 0 finished with an exact text-equality verify. Identical texts
+    // have identical simhash signatures, hence identical bands — recall on
+    // the projection is exact — and the equality verify removes the
+    // token-permuted texts whose signatures legitimately tie ----
+    "q41_simhash_exact" -> ((s, dir) => {
+      val base = docsT(s, dir).select(col("doc_id").as("id"), col("text"))
+      val corpus = base.unionAll(base.select((col("id") + 100000L).as("id"), col("text")))
+      Dedup.simhashCandidates(corpus, maxHamming = 0)
+        .join(corpus.select(col("id").as("id_a"), col("text").as("_ta")), Seq("id_a"))
+        .join(corpus.select(col("id").as("id_b"), col("text").as("_tb")), Seq("id_b"))
+        .where(col("_ta") === col("_tb"))
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- near-dup GROUP membership from the EMBEDDING pair list — the
+    // documented pair-list composability of Components executed end-to-end.
+    // Two planted copies of each low-id vector force deterministic 3-member
+    // groups (the natural corpus has no 0.98-cosine pairs at test SF); the
+    // genuinely-transitive chain case is spec-gated in PipelineOpsSpec ----
+    "q42_embed_members" -> ((s, dir) => {
+      implicit val spark = s
+      val vecs = t(dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val low = vecs.where(col("vec_id") < 100)
+      val corpus = vecs
+        .unionAll(low.select((col("vec_id") + 200000L).as("vec_id"), col("embedding")))
+        .unionAll(low.select((col("vec_id") + 400000L).as("vec_id"), col("embedding")))
+      val pairs = Dedup.embeddingNearDuplicates(corpus, minCosine = 0.98)
+      vps.ml.Components.connectedComponents(pairs)
+        .select(col("id"), col("component").as("keep_id"))
+        .orderBy("id")
     })
   )
 
@@ -879,11 +913,19 @@ object SparkEntry {
            |  CASE WHEN $corruptSql THEN NULL ELSE $blueSql END AS mean_b,
            |  NOT ($corruptSql) AS decode_ok
            |FROM documents ORDER BY doc_id""".stripMargin
-      }
+      },
+      "q41_simhash_exact" ->
+        """WITH corpus AS (
+          |  SELECT doc_id AS id, text FROM documents
+          |  UNION ALL SELECT doc_id + 100000, text FROM documents)
+          |SELECT a.id AS id_a, b.id AS id_b, CAST(0 AS BIGINT) AS hamming
+          |FROM corpus a JOIN corpus b ON a.text = b.text AND a.id < b.id
+          |ORDER BY 1, 2""".stripMargin
       // q15/q16/q17 (minhash/simhash/embedding near-dup), q22 (langid),
-      // q23 (fingerprint): custom hash kernels — not ANSI-SQL
-      // expressible; the driver records rows-only checks, ScalaTest carries
-      // the correctness gate (planted-duplicate oracles in PipelineOpsSpec).
+      // q23 (fingerprint), q42 (embedding-CC membership): custom hash kernels
+      // — not ANSI-SQL expressible; the driver records rows-only checks,
+      // ScalaTest carries the correctness gate (planted-duplicate oracles in
+      // PipelineOpsSpec).
     )
   }
 }

@@ -49,12 +49,42 @@ import vps.text.functions._
   */
 object Dedup {
 
-  /** The caller's channel, or an auto-registered named accumulator so drops
-    * are counted (UI-visible) even when no channel is supplied.
+  /** One auto-channel per (application, variant), with a job-end listener
+    * that logs a driver-side WARNING whenever the drop count grows — a
+    * headless caller that never opens the Spark UI still learns that LSH
+    * recall was lost. Registry-cached so repeated query construction doesn't
+    * stack accumulators or listeners.
+    */
+  private val channelRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, vps.geom.ErrorChannel]()
+  private lazy val logger = org.slf4j.LoggerFactory.getLogger("vps.ml.Dedup")
+
+  private[ml] def autoChannel(spark: org.apache.spark.sql.SparkSession,
+      name: String): vps.geom.ErrorChannel =
+    channelRegistry.computeIfAbsent(s"${spark.sparkContext.applicationId}/$name", _ => {
+      val ch = vps.geom.GeomErrors.channel(spark, s"dedup.dropped.$name")
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        private var lastSeen = 0L
+        override def onJobEnd(end: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val c = ch.count
+          if (c > lastSeen) {
+            logger.warn(s"dedup.$name: $c LSH bucket(s) exceeded maxBucket and were " +
+              "dropped — candidate recall was lost; raise maxBucket or run " +
+              "exactDuplicates first (mega duplicate classes are exact-dedup territory)")
+            lastSeen = c
+          }
+        }
+      })
+      ch
+    })
+
+  /** The caller's channel, or the auto-registered per-application channel
+    * (accumulator UI-visible + driver-side warning on growth) so drops are
+    * never silent.
     */
   private def dropChannel(df: DataFrame, name: String,
       supplied: Option[vps.geom.ErrorChannel]): Option[vps.geom.ErrorChannel] =
-    supplied.orElse(Some(vps.geom.GeomErrors.channel(df.sparkSession, s"dedup.dropped.$name")))
+    supplied.orElse(Some(autoChannel(df.sparkSession, name)))
 
   /** Groups of byte-identical texts: (digest, keep_id = min id, n).
     * Constant-size aggregation state per group — a pathological 10^8-duplicate
@@ -158,11 +188,32 @@ object Dedup {
       shingle: Int = 5,
       minJaccard: Double = 0.5,
       maxBucket: Int = 4096,
-      droppedBuckets: Option[vps.geom.ErrorChannel] = None): DataFrame = {
+      droppedBuckets: Option[vps.geom.ErrorChannel] = None): DataFrame =
+    nearDuplicateMembershipWithStats(df, idCol, textCol, numHashes, bands, shingle,
+      minJaccard, maxBucket, droppedBuckets)._1
+
+  /** [[nearDuplicateMembership]] plus the drop channel it counts capped
+    * buckets on — the headless-caller surface: after any action over the
+    * returned frame, `channel.count > 0` means recall was lost (the auto
+    * channel also logs a driver warning; a supplied channel is returned
+    * as-is).
+    */
+  def nearDuplicateMembershipWithStats(
+      df: DataFrame,
+      idCol: String = "id",
+      textCol: String = "text",
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingle: Int = 5,
+      minJaccard: Double = 0.5,
+      maxBucket: Int = 4096,
+      droppedBuckets: Option[vps.geom.ErrorChannel] = None)
+      : (DataFrame, vps.geom.ErrorChannel) = {
+    val ch = droppedBuckets.getOrElse(autoChannel(df.sparkSession, "minhash"))
     val pairs = minhashCandidates(df, idCol, textCol, numHashes, bands, shingle,
-      minJaccard, maxBucket, droppedBuckets)
-    Components.connectedComponents(pairs)
-      .select(col("id"), col("component").as("keep_id"))
+      minJaccard, maxBucket, Some(ch))
+    (Components.connectedComponents(pairs)
+      .select(col("id"), col("component").as("keep_id")), ch)
   }
 
   /** SimHash near-duplicate pairs with hamming distance <= maxHamming.

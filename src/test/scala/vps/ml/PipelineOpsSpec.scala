@@ -189,6 +189,49 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(uncapped === pairs.filter { case (a, b) => a < 500000L && b < 500000L })
   }
 
+  test("headless drop surfacing: nearDuplicateMembershipWithStats exposes the capped-bucket count") {
+    // planted mega class + tiny cap: buckets overflow; a caller that never
+    // opens the Spark UI reads the loss off the returned channel after any
+    // action (the auto channel also warns on the driver log via its job-end
+    // listener — same code path)
+    val mega = spark.range(0, 200)
+      .select(($"id" + 700000L).as("id"), lit("identical page body for stats").as("text"))
+    val (members, ch) = Dedup.nearDuplicateMembershipWithStats(
+      mega, minJaccard = 0.6, maxBucket = 8)
+    val rows = members.count()
+    assert(ch.count > 0L, "capped buckets must be visible on the returned channel")
+    assert(rows === 0L, "all pairs lived in capped buckets")
+    // the registry hands back the SAME channel for this app (no accumulator
+    // stacking across repeated query builds)
+    assert(Dedup.autoChannel(spark, "minhash") eq ch)
+  }
+
+  test("embedding near-dup chains group transitively via connected components") {
+    // rotating chain v0..v3 (5-degree steps in a 2D subspace): consecutive
+    // cosines 0.996 pass minCosine=0.99, 2-apart (0.985) and endpoint (0.966)
+    // pairs do NOT — grouping the four ids requires transitive resolution
+    val dim = 16
+    def vec(i: Int): Seq[Float] = {
+      val th = math.toRadians(5.0 * i)
+      Array.tabulate(dim)(d =>
+        if (d == 0) math.cos(th).toFloat else if (d == 1) math.sin(th).toFloat else 0.0f).toSeq
+    }
+    // two far vectors that must stay out of the group
+    val far1 = Array.tabulate(dim)(d => if (d == 2) 1.0f else 0.0f).toSeq
+    val far2 = Array.tabulate(dim)(d => if (d == 3) -1.0f else 0.0f).toSeq
+    val rows = ((1 to 4).map(i => (i.toLong, vec(i))) ++ Seq((50L, far1), (60L, far2)))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val pairs = Dedup.embeddingNearDuplicates(rows, minCosine = 0.99)
+    val pairSet = pairs.select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert((1 to 3).forall(i => pairSet.contains((i.toLong, i + 1L))), s"consecutive pairs: $pairSet")
+    assert(!pairSet.contains((1L, 4L)), "endpoints must not be directly paired")
+    val members = Components.connectedComponents(pairs)
+      .select($"id", $"component").as[(Long, Long)].collect().toMap
+    assert(members === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L),
+      s"chain must resolve to one group with keep_id 1: $members")
+  }
+
   test("array_pairs refuses a pair count that overflows one array") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.GenericArrayData
