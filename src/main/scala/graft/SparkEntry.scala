@@ -374,12 +374,34 @@ object SparkEntry {
           // race degrades to a name-only signature instead of an NPE
           Option(f.listFiles()).map(_.sortBy(_.getName).toSeq).getOrElse(Seq.empty)
             .map(sig).foldLeft(f.getName.hashCode.toLong)(_ * 31 + _)
-        else f.getName.hashCode.toLong * 31 + f.length * 31 + f.lastModified
+        else {
+          // fold a CONTENT sample (first 4 KiB) in alongside name/length/mtime:
+          // regenerated data with identical file metadata (or an
+          // mtime-preserving copy) must not reuse a stale index
+          var h = f.getName.hashCode.toLong * 31 + f.length * 31 + f.lastModified
+          if (f.getName.endsWith(".parquet") || f.getName.endsWith(".snappy")) {
+            val in = new java.io.FileInputStream(f)
+            try {
+              val buf = new Array[Byte](4096)
+              val n = in.read(buf)
+              var i = 0
+              while (i < n) { h = h * 1099511628211L ^ (buf(i) & 0xffL); i += 1 }
+            } finally in.close()
+          }
+          h
+        }
       val idx = s"${System.getProperty("java.io.tmpdir")}/vps_ivf_" +
         java.lang.Long.toHexString(sig(new java.io.File(s"$dir/embeddings.parquet")))
-      val built = new java.io.File(s"$idx/lists/_SUCCESS").exists &&
-        new java.io.File(s"$idx/centroids/_SUCCESS").exists
-      if (!built) VectorSearch.buildIndex(vecs, idx, numCentroids = 8)
+      // ONE atomic completion marker written AFTER both outputs (rename is
+      // atomic on a local fs): a crash between the two parquet writes can
+      // never present a half-built index as built
+      val marker = new java.io.File(s"$idx/_COMPLETE")
+      if (!marker.exists) {
+        VectorSearch.buildIndex(vecs, idx, numCentroids = 8)
+        val tmp = new java.io.File(s"$idx/_COMPLETE.tmp")
+        java.nio.file.Files.write(tmp.toPath, Array.emptyByteArray)
+        tmp.renameTo(marker)
+      }
       VectorSearch.searchIndex(s, idx, queries, k = 3, nProbe = 8)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
         .orderBy("query_id", "rank")

@@ -149,6 +149,10 @@ object SpatialJoins {
     // pair instead of re-hashing the polygon WKB (a 10k-vertex country probed
     // by 10^6 points prepares once per task). Non-numeric ids keep the
     // content-hash cache (a lossy cast would silently empty the join).
+    // Id-uniqueness contract: polyIdCol should bind each id to ONE geometry
+    // row; a violation (multipart regions as several rows per id) is caught
+    // by the keyed cache's per-hit length+head/tail WKB check and re-prepared
+    // — correct results, degraded caching (see StIntersectsKeyed).
     val keyed = polygons.schema(polyIdCol).dataType match {
       case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true

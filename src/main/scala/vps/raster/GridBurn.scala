@@ -20,9 +20,16 @@ import vps.geom.{TileMath, Wkb}
   * Serialization is sparse-aware: a partial grid with fewer than
   * `resolution^2 / 8` nonzero cells ships as (index, value) pairs, so SPARSE
   * corpora (few points per tile per partition) don't pay a dense
-  * `resolution^2 x 4` bytes per partial — without it a 256x256 grid costs
-  * 256 KiB per (tile, partition) and the "optimization" would LOSE to the
+  * `resolution^2 x 8` bytes per partial — without it a 256x256 grid costs
+  * 512 KiB per (tile, partition) and the "optimization" would LOSE to the
   * point shuffle below ~16k points per tile per partition.
+  *
+  * Cells accumulate in DOUBLE and round to float once at eval, so float-
+  * unrepresentable weights (0.1, ...) don't make cell values depend on the
+  * partition/AQE-dependent partial-merge order. (Double addition is still
+  * order-sensitive at the 1e-16 level; a sum sitting exactly on a float
+  * rounding boundary could in principle differ — astronomically unlikely,
+  * and exactly-representable weights are bit-exact.)
   *
   * Memory: the hash-agg map holds one dense grid per in-flight group, so
   * partitions spanning many tiles at high resolution want a bounded
@@ -38,15 +45,15 @@ case class GridBurn(
     resolution: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Array[Float]] {
+    extends TypedImperativeAggregate[Array[Double]] {
   require(resolution > 0 && resolution <= 4096, s"grid_burn: bad resolution $resolution")
 
   override def children: Seq[Expression] = Seq(wkb, weight, x, y)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
 
-  override def createAggregationBuffer(): Array[Float] =
-    new Array[Float](resolution * resolution)
+  override def createAggregationBuffer(): Array[Double] =
+    new Array[Double](resolution * resolution)
 
   // Rows from different groups interleave in one update stream, so the tile
   // envelope memo is keyed by (x, y); within a group it's computed once.
@@ -61,7 +68,7 @@ case class GridBurn(
     memoEnv
   }
 
-  override def update(buf: Array[Float], input: InternalRow): Array[Float] = {
+  override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
     val bv = wkb.eval(input)
     val wv = weight.eval(input)
     if (bv != null && wv != null) {
@@ -73,47 +80,52 @@ case class GridBurn(
     buf
   }
 
-  override def merge(buf: Array[Float], other: Array[Float]): Array[Float] = {
+  override def merge(buf: Array[Double], other: Array[Double]): Array[Double] = {
     var i = 0
     while (i < buf.length) { buf(i) += other(i); i += 1 }
     buf
   }
 
-  override def eval(buf: Array[Float]): Any = new GenericArrayData(buf)
+  override def eval(buf: Array[Double]): Any = {
+    val out = new Array[Float](buf.length)
+    var i = 0
+    while (i < buf.length) { out(i) = buf(i).toFloat; i += 1 }
+    new GenericArrayData(out)
+  }
 
-  override def serialize(buf: Array[Float]): Array[Byte] = {
+  override def serialize(buf: Array[Double]): Array[Byte] = {
     var nnz = 0
     var i = 0
-    while (i < buf.length) { if (buf(i) != 0f) nnz += 1; i += 1 }
+    while (i < buf.length) { if (buf(i) != 0d) nnz += 1; i += 1 }
     if (nnz < buf.length / 8) {
-      val bb = java.nio.ByteBuffer.allocate(5 + nnz * 8)
+      val bb = java.nio.ByteBuffer.allocate(5 + nnz * 12)
       bb.put(1.toByte)
       bb.putInt(nnz)
       i = 0
       while (i < buf.length) {
-        if (buf(i) != 0f) { bb.putInt(i); bb.putFloat(buf(i)) }
+        if (buf(i) != 0d) { bb.putInt(i); bb.putDouble(buf(i)) }
         i += 1
       }
       bb.array()
     } else {
-      val bb = java.nio.ByteBuffer.allocate(1 + buf.length * 4)
+      val bb = java.nio.ByteBuffer.allocate(1 + buf.length * 8)
       bb.put(0.toByte)
       i = 0
-      while (i < buf.length) { bb.putFloat(buf(i)); i += 1 }
+      while (i < buf.length) { bb.putDouble(buf(i)); i += 1 }
       bb.array()
     }
   }
 
-  override def deserialize(bytes: Array[Byte]): Array[Float] = {
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
-    val out = new Array[Float](resolution * resolution)
+    val out = new Array[Double](resolution * resolution)
     if (bb.get() == 1) {
       val nnz = bb.getInt()
       var k = 0
-      while (k < nnz) { val idx = bb.getInt(); out(idx) = bb.getFloat(); k += 1 }
+      while (k < nnz) { val idx = bb.getInt(); out(idx) = bb.getDouble(); k += 1 }
     } else {
       var i = 0
-      while (i < out.length) { out(i) = bb.getFloat(); i += 1 }
+      while (i < out.length) { out(i) = bb.getDouble(); i += 1 }
     }
     out
   }

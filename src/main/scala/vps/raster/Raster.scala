@@ -81,23 +81,25 @@ object Raster {
       .mapGroups[RasterTile] { (key: (Int, Int), rows: Iterator[(Array[Byte], Double, Int, Int)]) =>
         val (x, y) = key
         val env = TileMath.tileEnvelopeLatLng(zoom, x, y)
-        val cells = new Array[Float](resolution * resolution)
+        val cells = new Array[Double](resolution * resolution)
         rows.foreach { case (wkb, w, _, _) => burn(Wkb.read(wkb), w, env, resolution, cells) }
-        RasterTile(zoom, x, y, resolution, cells)
+        RasterTile(zoom, x, y, resolution, cells.map(_.toFloat))
       }
   }
 
   /** Burn one geometry into a tile grid (shared by both rasterize paths and
     * [[GridBurn]]): points increment their containing cell; other geometries
     * burn every cell whose box intersects, scanning only the envelope-covered
-    * range with a prepared geometry.
+    * range with a prepared geometry. Cells accumulate in DOUBLE (rounded to
+    * float once at output), so weights that are not exactly float-representable
+    * don't make the result depend on partial-merge arrival order.
     */
   private[raster] def burn(
       g: Geometry,
       w: Double,
       env: org.locationtech.jts.geom.Envelope,
       resolution: Int,
-      cells: Array[Float]): Unit = {
+      cells: Array[Double]): Unit = {
     val dx = env.getWidth / resolution
     val dy = env.getHeight / resolution
     g match {
@@ -105,7 +107,7 @@ object Raster {
         val c = p.getCoordinate
         val ci = clamp(((c.x - env.getMinX) / dx).toInt, resolution)
         val cj = clamp(((env.getMaxY - c.y) / dy).toInt, resolution)
-        cells(cj * resolution + ci) += w.toFloat
+        cells(cj * resolution + ci) += w
       case other =>
         val ge = other.getEnvelopeInternal
         val i0 = clamp(((ge.getMinX - env.getMinX) / dx).toInt, resolution)
@@ -120,7 +122,7 @@ object Raster {
             val cellBox = Geo.box(
               env.getMinX + i * dx, env.getMaxY - (j + 1) * dy,
               env.getMinX + (i + 1) * dx, env.getMaxY - j * dy)
-            if (prepared.intersects(cellBox)) cells(j * resolution + i) += w.toFloat
+            if (prepared.intersects(cellBox)) cells(j * resolution + i) += w
             i += 1
           }
           j += 1

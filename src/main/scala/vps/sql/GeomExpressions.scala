@@ -495,30 +495,57 @@ case class StIntersects(left: Expression, right: Expression) extends GeomBinaryP
   * Safety: the cache is INSTANCE state, not a JVM-wide map — every Spark task
   * deserializes its own expression tree, so entries can never leak between
   * tasks, queries, or sessions even when two queries reuse the same id for
-  * different geometries. The caller's contract is only that the key is unique
-  * WITHIN the query (e.g. the join's `poly_id`).
+  * different geometries. The caller's contract is that the key identifies one
+  * geometry WITHIN the query (e.g. the join's `poly_id`); as a guard against
+  * violations (multipart regions stored as several rows under one id), every
+  * hit is sanity-checked against the row's WKB length + head/tail bytes and
+  * silently re-prepared on mismatch — wrong-id rows then cost cache churn,
+  * never wrong join results.
   */
 case class StIntersectsKeyed(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with CodegenFallback {
   override def dataType: DataType = BooleanType
+  import StIntersectsKeyed.Entry
   @transient private lazy val cache =
-    new java.util.LinkedHashMap[java.lang.Long, org.locationtech.jts.geom.prep.PreparedGeometry](64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[java.lang.Long, org.locationtech.jts.geom.prep.PreparedGeometry]): Boolean =
+    new java.util.LinkedHashMap[java.lang.Long, Entry](64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[java.lang.Long, Entry]): Boolean =
         size() > 256
     }
   override def nullSafeEval(k: Any, g: Any, p: Any): Any = {
     val key = java.lang.Long.valueOf(k.asInstanceOf[Long])
-    var pg = cache.get(key)
-    if (pg == null) {
-      pg = org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(
-        Wkb.read(g.asInstanceOf[Array[Byte]]))
-      cache.put(key, pg)
+    val wkb = g.asInstanceOf[Array[Byte]]
+    var e = cache.get(key)
+    if (e == null || !e.matches(wkb)) {
+      e = new Entry(wkb,
+        org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(Wkb.read(wkb)))
+      cache.put(key, e)
     }
-    pg.intersects(Wkb.read(p.asInstanceOf[Array[Byte]]))
+    e.prepared.intersects(Wkb.read(p.asInstanceOf[Array[Byte]]))
   }
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
     copy(f, s, t)
+}
+object StIntersectsKeyed {
+  /** Cached prepared geometry + an O(1) content discriminator (length, first
+    * and last 8 bytes) — catches a same-id different-geometry contract
+    * violation without re-reading the full WKB.
+    */
+  private[sql] final class Entry(
+      wkb: Array[Byte], val prepared: org.locationtech.jts.geom.prep.PreparedGeometry) {
+    private val len = wkb.length
+    private val head = sliceBits(wkb, 0)
+    private val tail = sliceBits(wkb, math.max(0, wkb.length - 8))
+    def matches(other: Array[Byte]): Boolean =
+      other.length == len && sliceBits(other, 0) == head &&
+        sliceBits(other, math.max(0, other.length - 8)) == tail
+  }
+  private def sliceBits(b: Array[Byte], from: Int): Long = {
+    var v = 0L
+    var i = from
+    val end = math.min(b.length, from + 8)
+    while (i < end) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+    v
+  }
 }
 /** st_within(a, b) = "a within b" (PostGIS argument order). The container is
   * the RIGHT operand, so that side is prepared/cached.

@@ -72,6 +72,24 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(joinWith("POLYGON ((50 50, 60 50, 60 60, 50 60, 50 50))") === Set(2L))
   }
 
+  test("keyed cache survives duplicate ids bound to different geometries (multipart rows)") {
+    // a multipart region stored as TWO rows under poly_id=0: a blind id-keyed
+    // cache would evaluate the second part against the first part's prepared
+    // geometry and lose point 2; the per-hit WKB length/head/tail check must
+    // re-prepare instead
+    val pts = Seq((1L, 5.0, 5.0), (2L, 55.0, 55.0), (3L, -170.0, -70.0))
+      .toDF("id", "lon", "lat")
+      .select($"id", st_point($"lon", $"lat").as("geom"))
+    val polys = Seq(
+      (0L, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),
+      (0L, "POLYGON ((50 50, 60 50, 60 60, 50 60, 50 50))"))
+      .toDF("poly_id", "wkt")
+      .select($"poly_id", st_geomFromWKT($"wkt").as("geom"))
+    val got = SpatialJoins.pipCellJoin(pts.coalesce(1), polys, level = 3)
+      .select($"id").as[Long].collect().toSet
+    assert(got === Set(1L, 2L), s"duplicate-id parts must both match: $got")
+  }
+
   test("pipCellJoin with non-numeric poly ids falls back to the content-hash refine") {
     val pts = Seq((1L, 5.0, 5.0), (2L, 55.0, 55.0)).toDF("id", "lon", "lat")
       .select($"id", st_point($"lon", $"lat").as("geom"))

@@ -64,6 +64,15 @@ class RasterSpec extends AnyFunSuite {
       .toDF("id", "wkt", "wt").select($"id", st_geomFromWKT($"wkt").as("geom"), $"wt")
     assert(grids(Raster.rasterize(poly, 2, 32, weightCol = Some("wt"))) ===
       grids(Raster.rasterizePointShuffle(poly, 2, 32, weightCol = Some("wt"))))
+
+    // float-UNREPRESENTABLE weights (0.1): cells accumulate in double and
+    // round to float once, so the two shuffle shapes (different merge orders)
+    // still agree byte-for-byte, and the total matches the closed form
+    val w01 = pts.withColumn("wt", lit(0.1))
+    val a = grids(Raster.rasterize(w01, 3, 64, weightCol = Some("wt")))
+    assert(a === grids(Raster.rasterizePointShuffle(w01, 3, 64, weightCol = Some("wt"))))
+    val total = a.values.flatten.map(_.toDouble).sum
+    assert(math.abs(total - 0.1 * pts.count()) < 1e-3, s"total=$total")
   }
 
   test("hot tile: the exchange carries O(partitions) partial grids, not points") {
