@@ -582,6 +582,26 @@ object SparkEntry {
       vps.ml.Components.connectedComponents(pairs)
         .select(col("id"), col("component").as("keep_id"))
         .orderBy("id")
+    }),
+
+    // ---- audio decode: REAL RIFF/WAVE PCM bytes (integer triangle wave,
+    // closed-form sample count / amplitude) -> javax.sound.sampled parse ->
+    // measured format + full-payload peak/mean; ids % 19 == 0 carry corrupt
+    // bytes through the error channel ----
+    "q43_audio_decode" -> ((s, dir) => {
+      val docs = InterleavedDocs.fromDocuments(s, dir)
+      val media = docs.select(col("doc_id"), col("id"))
+        .withColumn("blob", vps.media.AudioPipeline.synthesizeAudioBlob(col("id")))
+      vps.media.AudioPipeline.decode(media, "blob")
+        .select(col("doc_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("bits").cast("long").as("bits"),
+          col("n_samples"),
+          col("peak").cast("long").as("peak"),
+          col("mean_amp").cast("long").as("mean_amp"),
+          col("decode_ok"))
+        .orderBy("doc_id")
     })
   )
 
@@ -942,7 +962,19 @@ object SparkEntry {
           |  UNION ALL SELECT doc_id + 100000, text FROM documents)
           |SELECT a.id AS id_a, b.id AS id_b, CAST(0 AS BIGINT) AS hamming
           |FROM corpus a JOIN corpus b ON a.text = b.text AND a.id < b.id
-          |ORDER BY 1, 2""".stripMargin
+          |ORDER BY 1, 2""".stripMargin,
+      "q43_audio_decode" -> {
+        import vps.media.AudioPipeline._
+        s"""SELECT 'doc' || CAST(doc_id AS VARCHAR) AS doc_id,
+           |  CASE WHEN $corruptSql THEN NULL ELSE $SampleRate END AS sample_rate,
+           |  CASE WHEN $corruptSql THEN NULL ELSE 1 END AS channels,
+           |  CASE WHEN $corruptSql THEN NULL ELSE 16 END AS bits,
+           |  CASE WHEN $corruptSql THEN NULL ELSE $nSamplesSql END AS n_samples,
+           |  CASE WHEN $corruptSql THEN NULL ELSE $amplitudeSql END AS peak,
+           |  CASE WHEN $corruptSql THEN NULL ELSE 0 END AS mean_amp,
+           |  NOT ($corruptSql) AS decode_ok
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }
       // q15/q16/q17 (minhash/simhash/embedding near-dup), q22 (langid),
       // q23 (fingerprint), q42 (embedding-CC membership): custom hash kernels
       // — not ANSI-SQL expressible; the driver records rows-only checks,

@@ -156,6 +156,65 @@ object MediaPipeline {
       when(col("media_kind") === "video",
         sequence(lit(0), col("n_frames") - 1, lit(stride)))
         .otherwise(array(lit(0))))
+
+  /** Closed-form output dims of [[resizeImages]]: scale so max(w, h) ==
+    * maxDim (never upscale), floor the short side, min 1.
+    */
+  def resizedDims(w: Int, h: Int, maxDim: Int): (Int, Int) =
+    if (w <= maxDim && h <= maxDim) (w, h)
+    else if (w >= h) (maxDim, math.max(1, h * maxDim / w))
+    else (math.max(1, w * maxDim / h), maxDim)
+
+  /** REAL image resize (the training-pipeline normalization step): decode
+    * with ImageIO, downscale so the long side is `maxDim` (aspect preserved,
+    * floor division, never upscaled), re-encode as PNG. Appends
+    * `resized_blob`, `resized_width`, `resized_height`; null or undecodable
+    * input yields nulls (the decode step owns error accounting). Batched
+    * per-partition like [[decode]]; Java2D bilinear, headless-safe.
+    */
+  def resizeImages(df: DataFrame, blobCol: String, maxDim: Int,
+      batchSize: Int = 256): DataFrame = {
+    require(maxDim > 0, s"resizeImages: bad maxDim $maxDim")
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("resized_blob", BinaryType),
+      StructField("resized_width", IntegerType),
+      StructField("resized_height", IntegerType)))
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val bytes = row.getAs[Array[Byte]](blobIdx)
+          val resized =
+            if (bytes == null) None
+            else
+              try {
+                val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+                if (img == null) None
+                else {
+                  val (rw, rh) = resizedDims(img.getWidth, img.getHeight, maxDim)
+                  val out =
+                    if (rw == img.getWidth && rh == img.getHeight) img
+                    else {
+                      val scaled = new java.awt.image.BufferedImage(rw, rh,
+                        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+                      val g2 = scaled.createGraphics()
+                      g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                      g2.drawImage(img, 0, 0, rw, rh, null)
+                      g2.dispose()
+                      scaled
+                    }
+                  Some((encodePng(out), rw, rh))
+                }
+              } catch { case scala.util.control.NonFatal(_) => None }
+          resized match {
+            case Some((b, rw, rh)) => Row.fromSeq(row.toSeq ++ Seq(b, rw, rh))
+            case None => Row.fromSeq(row.toSeq ++ Seq(null, null, null))
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
 }
 
 /** JDK `javax.imageio` image decoder: PNG/JPEG/GIF/BMP by magic-byte sniff,

@@ -108,4 +108,87 @@ class MediaSpec extends AnyFunSuite {
       "definitely not an image".getBytes, png.take(20), null))
     assert(!g1.ok && !g2.ok && n1 == null)
   }
+
+  test("resizeImages: real downscale with exact closed-form dims; constant color survives; re-decodable") {
+    val docs = InterleavedDocs.fromDocuments(spark, "/root/testdata/sf0.001")
+    val media = docs.select($"doc_id", $"id")
+      .where($"id" % MediaPipeline.CorruptEvery =!= 0 && $"id" < 100)
+      .withColumn("blob", MediaPipeline.synthesizeImageBlob($"id"))
+    val maxDim = 24
+    val resized = MediaPipeline.resizeImages(media, "blob", maxDim)
+    // re-decode the resized bytes through the production codec: dims must
+    // match the closed form, constant color must survive bilinear resampling
+    val out = MediaPipeline.decode(resized.drop("blob"), "resized_blob", new ImageIoCodec)
+      .select($"id", $"resized_width", $"resized_height", $"width", $"height",
+        $"mean_r", $"mean_g", $"mean_b", $"decode_ok")
+      .collect()
+    assert(out.length > 50)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val (ew, eh) = MediaPipeline.resizedDims(
+        MediaPipeline.widthFor(id), MediaPipeline.heightFor(id), maxDim)
+      assert(r.getBoolean(8), s"resized image for $id must decode")
+      assert(r.getInt(1) === ew && r.getInt(2) === eh, s"closed-form dims for $id")
+      assert(r.getInt(3) === ew && r.getInt(4) === eh, s"measured dims for $id")
+      assert(math.max(ew, eh) <= maxDim)
+      assert(r.getDouble(5) === MediaPipeline.redFor(id).toDouble, s"constant red for $id")
+      assert(r.getDouble(6) === MediaPipeline.greenFor(id).toDouble)
+      assert(r.getDouble(7) === MediaPipeline.blueFor(id).toDouble)
+    }
+    // small images are passed through untouched (never upscale)
+    val tiny = MediaPipeline.resizedDims(10, 8, 24)
+    assert(tiny === ((10, 8)))
+    // null blob -> null resize fields
+    val nulls = MediaPipeline.resizeImages(
+      Seq((1L, null: Array[Byte])).toDF("id", "blob"), "blob", 24)
+      .select($"resized_blob".isNull, $"resized_width".isNull).as[(Boolean, Boolean)].head()
+    assert(nulls === ((true, true)))
+  }
+
+  test("AudioPipeline decodes real WAV bytes: exact format, peak, zero mean; corrupt -> error channel") {
+    val docs = InterleavedDocs.fromDocuments(spark, "/root/testdata/sf0.001")
+    val media = docs.select($"doc_id", $"id")
+      .withColumn("blob",
+        when($"id" === 11L, lit(null).cast("binary"))
+          .otherwise(AudioPipeline.synthesizeAudioBlob($"id")))
+    val decoded = AudioPipeline.decode(media, "blob", batchSize = 64)
+      .select($"id", $"sample_rate", $"channels", $"bits", $"n_samples",
+        $"peak", $"mean_amp", $"decode_ok")
+      .collect()
+    assert(decoded.length === 500)
+    decoded.foreach { r =>
+      val id = r.getLong(0)
+      if (id == 11L) assert(r.isNullAt(1) && r.isNullAt(7)) // null blob
+      else if (id % AudioPipeline.CorruptEvery == 0) {
+        assert(!r.getBoolean(7) && r.isNullAt(1) && r.isNullAt(4))
+      } else {
+        assert(r.getInt(1) === AudioPipeline.SampleRate && r.getInt(2) === 1 && r.getInt(3) === 16)
+        assert(r.getLong(4) === AudioPipeline.nSamplesFor(id))
+        assert(r.getInt(5) === AudioPipeline.amplitudeFor(id), s"peak for id $id")
+        assert(r.getDouble(6) === 0.0, s"mean for id $id")
+      }
+    }
+  }
+
+  test("AudioPipeline peak/mean match an independent byte-level scan of the WAV payload") {
+    // independent oracle: parse the generated bytes directly (skip the 44-byte
+    // canonical PCM header, read LE shorts) — no javax.sound involved
+    val id = 5L
+    val bytes = AudioPipeline.audioBlobFor(id)
+    assert(new String(bytes.take(4), "US-ASCII") === "RIFF")
+    val bb = java.nio.ByteBuffer.wrap(bytes, 44, bytes.length - 44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var peak = 0; var sum = 0L; var n = 0L
+    while (bb.remaining() >= 2) {
+      val s = bb.getShort().toInt
+      peak = math.max(peak, math.abs(s)); sum += s; n += 1
+    }
+    val df = Seq((id, bytes)).toDF("id", "blob")
+    val row = AudioPipeline.decode(df, "blob")
+      .select($"n_samples", $"peak", $"mean_amp").head()
+    assert(row.getLong(0) === n)
+    assert(row.getInt(1) === peak)
+    assert(row.getDouble(2) === sum.toDouble / n)
+    assert(sum === 0L, "triangle wave sums to exactly zero")
+  }
 }
