@@ -602,6 +602,25 @@ object SparkEntry {
           col("mean_amp").cast("long").as("mean_amp"),
           col("decode_ok"))
         .orderBy("doc_id")
+    }),
+
+    // ---- media resize pipeline: synthesize real PNG -> bilinear downscale
+    // to a 24px long side -> decode the RESIZED bytes and measure. Output
+    // dims follow the closed aspect-preserving form and constant color
+    // survives resampling exactly, so the whole chain is DuckDB-provable ----
+    "q44_media_resize" -> ((s, dir) => {
+      val docs = InterleavedDocs.fromDocuments(s, dir)
+      val media = docs.select(col("doc_id"), col("id"))
+        .where(col("id") % vps.media.MediaPipeline.CorruptEvery =!= 0)
+        .withColumn("blob", vps.media.MediaPipeline.synthesizeImageBlob(col("id")))
+      val resized = vps.media.MediaPipeline.resizeImages(media, "blob", maxDim = 24)
+      vps.media.MediaPipeline.decode(resized.drop("blob"), "resized_blob",
+          new vps.media.ImageIoCodec)
+        .select(col("doc_id"),
+          col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+          col("mean_r").cast("long").as("mean_r"), col("mean_g").cast("long").as("mean_g"),
+          col("mean_b").cast("long").as("mean_b"))
+        .orderBy("doc_id")
     })
   )
 
@@ -974,7 +993,24 @@ object SparkEntry {
            |  CASE WHEN $corruptSql THEN NULL ELSE 0 END AS mean_amp,
            |  NOT ($corruptSql) AS decode_ok
            |FROM documents ORDER BY doc_id""".stripMargin
-      }
+      },
+      "q44_media_resize" ->
+        """WITH m AS (
+          |  SELECT doc_id,
+          |    16 + (doc_id * 37) % 48 AS w,
+          |    16 + (doc_id * 53) % 48 AS h
+          |  FROM documents WHERE doc_id % 17 <> 0)
+          |SELECT 'doc' || CAST(doc_id AS VARCHAR) AS doc_id,
+          |  CASE WHEN w <= 24 AND h <= 24 THEN w
+          |       WHEN w >= h THEN 24
+          |       ELSE greatest(1, (w * 24) // h) END AS width,
+          |  CASE WHEN w <= 24 AND h <= 24 THEN h
+          |       WHEN w >= h THEN greatest(1, (h * 24) // w)
+          |       ELSE 24 END AS height,
+          |  (doc_id * 101) % 256 AS mean_r,
+          |  (doc_id * 151) % 256 AS mean_g,
+          |  (doc_id * 197) % 256 AS mean_b
+          |FROM m ORDER BY doc_id""".stripMargin
       // q15/q16/q17 (minhash/simhash/embedding near-dup), q22 (langid),
       // q23 (fingerprint), q42 (embedding-CC membership): custom hash kernels
       // — not ANSI-SQL expressible; the driver records rows-only checks,
