@@ -89,44 +89,199 @@ object Raster {
 
   /** Burn one geometry into a tile grid (shared by both rasterize paths and
     * [[GridBurn]]): points increment their containing cell; other geometries
-    * burn every cell whose box intersects, scanning only the envelope-covered
-    * range with a prepared geometry. Cells accumulate in DOUBLE (rounded to
-    * float once at output), so weights that are not exactly float-representable
-    * don't make the result depend on partial-merge arrival order.
+    * burn every cell whose box intersects the geometry. Cells accumulate in
+    * DOUBLE (rounded to float once at output), so weights that are not
+    * exactly float-representable don't make the result depend on
+    * partial-merge arrival order.
+    *
+    * Cost shape: polygons and lines burn via [[burnScan]] — JTS is consulted
+    * only for the O(perimeter) boundary-candidate cells and the interior
+    * fills by row parity — instead of one `PreparedGeometry.intersects` per
+    * envelope-covered cell (O(res^2) JTS calls for a big polygon at res 256).
+    * Output is byte-identical to the per-cell reference ([[burnPerCell]],
+    * kept as the spec oracle): candidates are decided by the SAME JTS
+    * predicate, and non-candidate cells sit >= 1 cell from the boundary,
+    * where the parity decision is robust.
     */
-  private[raster] def burn(
+  private[vps] def burn(
       g: Geometry,
+      w: Double,
+      env: org.locationtech.jts.geom.Envelope,
+      resolution: Int,
+      cells: Array[Double]): Unit =
+    g match {
+      case p: org.locationtech.jts.geom.Point =>
+        val dx = env.getWidth / resolution
+        val dy = env.getHeight / resolution
+        val c = p.getCoordinate
+        val ci = clamp(((c.x - env.getMinX) / dx).toInt, resolution)
+        val cj = clamp(((env.getMaxY - c.y) / dy).toInt, resolution)
+        cells(cj * resolution + ci) += w
+      case other if !other.isEmpty &&
+          (other.isInstanceOf[org.locationtech.jts.geom.Polygonal] ||
+            other.isInstanceOf[org.locationtech.jts.geom.Lineal]) =>
+        burnScan(other, w, env, resolution, cells)
+      case other => // multipoints, mixed collections: reference path
+        burnPerCell(other, w, env, resolution, cells)
+    }
+
+  /** Reference implementation: test every envelope-covered cell box with the
+    * prepared geometry. O(covered cells) JTS calls — kept as the
+    * byte-equality oracle for [[burnScan]] and as the fallback for geometry
+    * types outside the scanline's scope (multipoints, collections).
+    */
+  private[vps] def burnPerCell(
+      other: Geometry,
       w: Double,
       env: org.locationtech.jts.geom.Envelope,
       resolution: Int,
       cells: Array[Double]): Unit = {
     val dx = env.getWidth / resolution
     val dy = env.getHeight / resolution
-    g match {
-      case p: org.locationtech.jts.geom.Point =>
-        val c = p.getCoordinate
-        val ci = clamp(((c.x - env.getMinX) / dx).toInt, resolution)
-        val cj = clamp(((env.getMaxY - c.y) / dy).toInt, resolution)
-        cells(cj * resolution + ci) += w
-      case other =>
-        val ge = other.getEnvelopeInternal
-        val i0 = clamp(((ge.getMinX - env.getMinX) / dx).toInt, resolution)
-        val i1 = clamp(((ge.getMaxX - env.getMinX) / dx).toInt, resolution)
-        val j0 = clamp(((env.getMaxY - ge.getMaxY) / dy).toInt, resolution)
-        val j1 = clamp(((env.getMaxY - ge.getMinY) / dy).toInt, resolution)
-        val prepared = org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(other)
-        var j = j0
-        while (j <= j1) {
-          var i = i0
-          while (i <= i1) {
-            val cellBox = Geo.box(
-              env.getMinX + i * dx, env.getMaxY - (j + 1) * dy,
-              env.getMinX + (i + 1) * dx, env.getMaxY - j * dy)
-            if (prepared.intersects(cellBox)) cells(j * resolution + i) += w
-            i += 1
+    val ge = other.getEnvelopeInternal
+    val i0 = clamp(((ge.getMinX - env.getMinX) / dx).toInt, resolution)
+    val i1 = clamp(((ge.getMaxX - env.getMinX) / dx).toInt, resolution)
+    val j0 = clamp(((env.getMaxY - ge.getMaxY) / dy).toInt, resolution)
+    val j1 = clamp(((env.getMaxY - ge.getMinY) / dy).toInt, resolution)
+    val prepared = org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(other)
+    var j = j0
+    while (j <= j1) {
+      var i = i0
+      while (i <= i1) {
+        val cellBox = Geo.box(
+          env.getMinX + i * dx, env.getMaxY - (j + 1) * dy,
+          env.getMinX + (i + 1) * dx, env.getMaxY - j * dy)
+        if (prepared.intersects(cellBox)) cells(j * resolution + i) += w
+        i += 1
+      }
+      j += 1
+    }
+  }
+
+  /** Scanline burn for lines and polygons.
+    *
+    * 1. CANDIDATES: every boundary segment is column-swept (clip to each
+    *    x-column it spans, take the clipped y-range, expand the cell range
+    *    by one in each direction to absorb floating-point slop) — an
+    *    O(perimeter-cells) superset of every cell whose box could touch the
+    *    boundary. Each candidate is decided by `PreparedGeometry.intersects`
+    *    on the EXACT same cell box the reference path builds.
+    * 2. INTERIOR (dimension-2 only): per grid row, parity-count boundary
+    *    crossings of the row's CENTER line (half-open vertex rule); cells
+    *    between odd/even crossing pairs that are NOT candidates are >= 1
+    *    cell from the boundary — strictly inside — and burn without JTS.
+    */
+  private[vps] def burnScan(
+      other: Geometry,
+      w: Double,
+      env: org.locationtech.jts.geom.Envelope,
+      resolution: Int,
+      cells: Array[Double]): Unit = {
+    val res = resolution
+    val dx = env.getWidth / res
+    val dy = env.getHeight / res
+    val minX = env.getMinX
+    val maxY = env.getMaxY
+
+    // gather boundary segments (polygon rings incl. holes, or the lines)
+    val boundary = if (other.getDimension == 2) other.getBoundary else other
+    val segs = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double, Double)]
+    (0 until boundary.getNumGeometries).foreach { gi =>
+      boundary.getGeometryN(gi) match {
+        case ls: org.locationtech.jts.geom.LineString =>
+          val cs = ls.getCoordinateSequence
+          var k = 1
+          while (k < cs.size) {
+            segs += ((cs.getX(k - 1), cs.getY(k - 1), cs.getX(k), cs.getY(k)))
+            k += 1
           }
-          j += 1
+        case p: org.locationtech.jts.geom.Point => // degenerate boundary part
+          segs += ((p.getX, p.getY, p.getX, p.getY))
+        case other2 => // unexpected boundary type: be conservative
+          burnPerCell(other, w, env, res, cells); return
+      }
+    }
+    if (segs.isEmpty) { burnPerCell(other, w, env, res, cells); return }
+
+    // the candidate/interior universe is the SAME floor-clamped envelope
+    // cell range the reference path scans — cells that only touch the
+    // geometry envelope from the left/top are outside it there too, and
+    // byte-parity with the established semantics is the contract
+    val envG = other.getEnvelopeInternal
+    val gi0 = clamp(((envG.getMinX - minX) / dx).toInt, res)
+    val gi1 = clamp(((envG.getMaxX - minX) / dx).toInt, res)
+    val gj0 = clamp(((maxY - envG.getMaxY) / dy).toInt, res)
+    val gj1 = clamp(((maxY - envG.getMinY) / dy).toInt, res)
+
+    val marks = new java.util.BitSet(res * res)
+    segs.foreach { case (x0, y0, x1, y1) =>
+      val xa = math.min(x0, x1); val xb = math.max(x0, x1)
+      val iLo = math.max(gi0, ((xa - minX) / dx).toInt - 1)
+      val iHi = math.min(gi1, ((xb - minX) / dx).toInt + 1)
+      var i = iLo
+      while (i <= iHi) {
+        // y-range of the segment over this column's (slightly widened) x-span
+        val cxa = minX + i * dx
+        val cxb = cxa + dx
+        val (ylo, yhi) =
+          if (x0 == x1) (math.min(y0, y1), math.max(y0, y1))
+          else {
+            val t0 = math.max(0.0, math.min(1.0, (cxa - x0) / (x1 - x0)))
+            val t1 = math.max(0.0, math.min(1.0, (cxb - x0) / (x1 - x0)))
+            val ya = y0 + t0 * (y1 - y0)
+            val yb = y0 + t1 * (y1 - y0)
+            (math.min(ya, yb), math.max(ya, yb))
+          }
+        val jLo = math.max(gj0, ((maxY - yhi) / dy).toInt - 1)
+        val jHi = math.min(gj1, ((maxY - ylo) / dy).toInt + 1)
+        var j = jLo
+        while (j <= jHi) { marks.set(j * res + i); j += 1 }
+        i += 1
+      }
+    }
+
+    // candidates: exact JTS decision on the reference path's cell boxes
+    val prepared = org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(other)
+    var bit = marks.nextSetBit(0)
+    while (bit >= 0) {
+      val j = bit / res; val i = bit % res
+      val cellBox = Geo.box(
+        minX + i * dx, maxY - (j + 1) * dy,
+        minX + (i + 1) * dx, maxY - j * dy)
+      if (prepared.intersects(cellBox)) cells(bit) += w
+      bit = marks.nextSetBit(bit + 1)
+    }
+
+    // interior fill by center-line parity (polygons only)
+    if (other.getDimension == 2) {
+      val xs = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var j = gj0
+      while (j <= gj1) {
+        val yc = maxY - (j + 0.5) * dy
+        xs.clear()
+        segs.foreach { case (x0, y0, x1, y1) =>
+          // half-open: a vertex exactly on the line counts for one edge only
+          if ((y0 <= yc && yc < y1) || (y1 <= yc && yc < y0))
+            xs += x0 + (yc - y0) * (x1 - x0) / (y1 - y0)
         }
+        if (xs.nonEmpty) {
+          val sorted = xs.toArray
+          java.util.Arrays.sort(sorted)
+          var p = 0
+          while (p + 1 < sorted.length) {
+            val iLo = math.max(gi0, math.ceil((sorted(p) - minX) / dx - 0.5).toInt)
+            val iHi = math.min(gi1, math.floor((sorted(p + 1) - minX) / dx - 0.5).toInt)
+            var i = iLo
+            while (i <= iHi) {
+              val bitIdx = j * res + i
+              if (!marks.get(bitIdx)) cells(bitIdx) += w
+              i += 1
+            }
+            p += 2
+          }
+        }
+        j += 1
+      }
     }
   }
 

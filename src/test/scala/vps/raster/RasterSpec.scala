@@ -75,6 +75,65 @@ class RasterSpec extends AnyFunSuite {
     assert(math.abs(total - 0.1 * pts.count()) < 1e-3, s"total=$total")
   }
 
+  test("scanline burn is byte-identical to the per-cell reference on adversarial geometries") {
+    val env = vps.geom.TileMath.tileEnvelopeLatLng(3, 4, 3)
+    val res = 64
+    val dx = env.getWidth / res
+    val dy = env.getHeight / res
+    val x0 = env.getMinX; val y1 = env.getMaxY
+    def g(wkt: String) = vps.geom.Wkt.read(wkt)
+    def run(geom: org.locationtech.jts.geom.Geometry,
+        f: (org.locationtech.jts.geom.Geometry, Double, org.locationtech.jts.geom.Envelope,
+          Int, Array[Double]) => Unit): Seq[Double] = {
+      val cells = new Array[Double](res * res)
+      f(geom, 1.5, env, res, cells)
+      cells.toSeq
+    }
+    def poly(pts: (Double, Double)*): String =
+      "POLYGON ((" + (pts :+ pts.head).map { case (a, b) => s"$a $b" }.mkString(", ") + "))"
+
+    val cx = x0 + env.getWidth / 2; val cy = env.getMinY + env.getHeight / 2
+    val fixtures: Seq[org.locationtech.jts.geom.Geometry] = Seq(
+      // box EXACTLY on cell boundaries (the touch-classification stress)
+      g(poly((x0 + 8 * dx, y1 - 8 * dy), (x0 + 24 * dx, y1 - 8 * dy),
+        (x0 + 24 * dx, y1 - 24 * dy), (x0 + 8 * dx, y1 - 24 * dy))),
+      // irregular concave polygon
+      g(poly((cx, cy), (cx + 20 * dx, cy + 5 * dy), (cx + 8 * dx, cy + 18 * dy),
+        (cx - 3 * dx, cy + 9 * dy), (cx - 15 * dx, cy + 14 * dy))),
+      // polygon with a hole
+      g(s"POLYGON ((${x0 + 5 * dx} ${y1 - 40 * dy}, ${x0 + 45 * dx} ${y1 - 40 * dy}, " +
+        s"${x0 + 45 * dx} ${y1 - 5 * dy}, ${x0 + 5 * dx} ${y1 - 5 * dy}, ${x0 + 5 * dx} ${y1 - 40 * dy}), " +
+        s"(${x0 + 15 * dx} ${y1 - 30 * dy}, ${x0 + 35 * dx} ${y1 - 30 * dy}, " +
+        s"${x0 + 35 * dx} ${y1 - 15 * dy}, ${x0 + 15 * dx} ${y1 - 15 * dy}, ${x0 + 15 * dx} ${y1 - 30 * dy}))"),
+      // multipolygon with a sub-cell island
+      g(s"MULTIPOLYGON (((${x0 + 2 * dx} ${y1 - 2 * dy}, ${x0 + 10 * dx} ${y1 - 2 * dy}, " +
+        s"${x0 + 10 * dx} ${y1 - 10 * dy}, ${x0 + 2 * dx} ${y1 - 2 * dy})), " +
+        s"((${x0 + 50.25 * dx} ${y1 - 50.25 * dy}, ${x0 + 50.75 * dx} ${y1 - 50.25 * dy}, " +
+        s"${x0 + 50.5 * dx} ${y1 - 50.75 * dy}, ${x0 + 50.25 * dx} ${y1 - 50.25 * dy})))"),
+      // diagonal + horizontal-on-row-boundary lines
+      g(s"LINESTRING (${x0 + 0.3 * dx} ${y1 - 0.7 * dy}, ${x0 + 63.2 * dx} ${y1 - 62.1 * dy})"),
+      g(s"LINESTRING (${x0 + 5 * dx} ${y1 - 16 * dy}, ${x0 + 60 * dx} ${y1 - 16 * dy})"),
+      // polygon bigger than the whole tile
+      g(poly((x0 - 10 * dx, y1 + 10 * dy), (x0 + 80 * dx, y1 + 10 * dy),
+        (x0 + 80 * dx, y1 - 80 * dy), (x0 - 10 * dx, y1 - 80 * dy))),
+      // thin sliver crossing many cells
+      g(poly((x0 + 1 * dx, y1 - 1 * dy), (x0 + 62 * dx, y1 - 60 * dy),
+        (x0 + 62.1 * dx, y1 - 60 * dy))))
+
+    // seeded random triangles for breadth
+    val rnd = new scala.util.Random(42)
+    val randomTris = (0 until 25).map { _ =>
+      def px = x0 + rnd.nextDouble() * env.getWidth
+      def py = env.getMinY + rnd.nextDouble() * env.getHeight
+      g(poly((px, py), (px, py), (px, py)))
+    }
+    (fixtures ++ randomTris).zipWithIndex.foreach { case (geom, idx) =>
+      val fixed = if (geom.isValid) geom else geom.convexHull()
+      assert(run(fixed, Raster.burnScan) === run(fixed, Raster.burnPerCell),
+        s"fixture $idx: ${fixed.getGeometryType}")
+    }
+  }
+
   test("hot tile: the exchange carries O(partitions) partial grids, not points") {
     val n = 50000
     // all points land in ONE zoom-4 tile (tile width 22.5 deg); 4 input
