@@ -22,6 +22,8 @@ package vps.geom
   *   variants A (+k) and B (+lat_ts))
   * - EPSG:3413 / 3031 (NSIDC Arctic / Antarctic polar stereographic —
   *   Snyder 1987 §21, variants A and B; the standard polar-raster grids)
+  * - EPSG:28992 (Amersfoort / RD New — oblique stereographic on the
+  *   conformal sphere, EPSG method 9809, Bessel 1841 + Amersfoort Helmert)
   * - raw proj4 parameter strings (`+proj=tmerc/lcc/aea/somerc/utm/merc/
   *   stere(polar)/longlat/webmerc` with +ellps/+a/+rf/+datum and optional
   *   +towgs84 Helmert), parsed onto the same engines — the breadth path for
@@ -598,6 +600,95 @@ object Proj {
   val AntarcticPolarStereo: PolarStereo =
     PolarStereo.withStandardParallel(latTs = -71.0, lon0 = 0.0, fe = 0.0, fn = 0.0)
 
+  /** Oblique (and equatorial) stereographic, EPSG method 9809 — the
+    * conformal-sphere ("double stereographic") formulation national grids
+    * like Amersfoort / RD New (EPSG:28992) are DEFINED on (a Gauss-Schreiber
+    * conformal sphere at the origin, then sphere stereographic; this is NOT
+    * the same surface as Snyder's direct ellipsoidal oblique stereographic —
+    * coordinates differ by metres away from the origin). Geodetic
+    * input/output in the grid's own datum; datum shifts layer via
+    * [[Proj4Crs]]/[[Helmert]].
+    */
+  final case class ObliqueStereo(
+      lat0Deg: Double, lon0Deg: Double, k0: Double,
+      fe: Double, fn: Double,
+      a: Double, invF: Double) extends Crs with PlaneProjection {
+    private val f = 1.0 / invF
+    private val e2 = f * (2.0 - f)
+    private val e = math.sqrt(e2)
+    private val phi0 = math.toRadians(lat0Deg)
+    private val lam0 = math.toRadians(lon0Deg)
+    private val sp0 = math.sin(phi0)
+    /** conformal-sphere radius at the origin: sqrt(rho0 nu0) */
+    private val bigR = a * math.sqrt(1.0 - e2) / (1.0 - e2 * sp0 * sp0)
+    private val n = math.sqrt(1.0 + e2 * math.pow(math.cos(phi0), 4) / (1.0 - e2))
+    private val w1 = math.pow(
+      (1.0 + sp0) / (1.0 - sp0) * math.pow((1.0 - e * sp0) / (1.0 + e * sp0), e), n)
+    private val chi0Prov = math.asin((w1 - 1.0) / (w1 + 1.0))
+    private val cC = (n + sp0) * (1.0 - math.sin(chi0Prov)) /
+      ((n - sp0) * (1.0 + math.sin(chi0Prov)))
+    private val w2 = cC * w1
+    private val chi0 = math.asin((w2 - 1.0) / (w2 + 1.0))
+    private val sinChi0 = math.sin(chi0)
+    private val cosChi0 = math.cos(chi0)
+
+    private def chiOf(phi: Double): Double = {
+      val sp = math.sin(phi)
+      val w = cC * math.pow(
+        (1.0 + sp) / (1.0 - sp) * math.pow((1.0 - e * sp) / (1.0 + e * sp), e), n)
+      math.asin((w - 1.0) / (w + 1.0))
+    }
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val chi = chiOf(math.toRadians(latDeg))
+      val dLam = n * (math.toRadians(lonDeg) - lam0)
+      val sinChi = math.sin(chi); val cosChi = math.cos(chi)
+      val b = 1.0 + sinChi * sinChi0 + cosChi * cosChi0 * math.cos(dLam)
+      (fe + 2.0 * bigR * k0 * cosChi * math.sin(dLam) / b,
+        fn + 2.0 * bigR * k0 * (sinChi * cosChi0 - cosChi * sinChi0 * math.cos(dLam)) / b)
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val eP = x - fe; val nP = y - fn
+      val g = 2.0 * bigR * k0 * math.tan(math.Pi / 4.0 - chi0 / 2.0)
+      val h = 4.0 * bigR * k0 * math.tan(chi0) + g
+      val i = math.atan2(eP, h + nP)
+      val j = math.atan2(eP, g - nP) - i
+      val chi = chi0 + 2.0 * math.atan((nP - eP * math.tan(j / 2.0)) / (2.0 * bigR * k0))
+      val dLam = j + 2.0 * i
+      val lam = dLam / n + lam0
+      // invert the conformal map: psi target from chi, then Newton-ish
+      // iteration on the isometric latitude (EPSG GN7-2 recipe)
+      val psi0 = 0.5 * math.log((1.0 + math.sin(chi)) / (cC * (1.0 - math.sin(chi)))) / n
+      var phi = 2.0 * math.atan(math.exp(psi0)) - math.Pi / 2.0
+      var it = 0
+      var diff = 1.0
+      while (it < 12 && math.abs(diff) > 1e-15) {
+        val sp = math.sin(phi)
+        val psi = math.log(math.tan(phi / 2.0 + math.Pi / 4.0) *
+          math.pow((1.0 - e * sp) / (1.0 + e * sp), e / 2.0))
+        diff = (psi - psi0) * math.cos(phi) * (1.0 - e2 * sp * sp) / (1.0 - e2)
+        phi -= diff
+        it += 1
+      }
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
+  /** EPSG:28992 — Amersfoort / RD New (Bessel 1841; EPSG registry
+    * parameters). The Amersfoort->WGS84 Helmert is applied on the hub side
+    * (EPSG 15934-class transformation, ~0.5 m without the NTv2 grid).
+    */
+  private[geom] val RdNewProj = ObliqueStereo(
+    lat0Deg = 52.0 + 9.0 / 60 + 22.178 / 3600,
+    lon0Deg = 5.0 + 23.0 / 60 + 15.5 / 3600,
+    k0 = 0.9999079, fe = 155000.0, fn = 463000.0,
+    a = BesselA, invF = BesselInvF)
+  private[geom] val AmersfoortToWgs84 = Helmert(
+    565.417, 50.3319, 465.552, -0.398957, 0.343988, -1.87740, 4.0725)
+  /** EPSG:28992 as a routed CRS (projection + datum shift). */
+  val RdNew: Crs = Proj4Crs(RdNewProj, BesselA, BesselInvF, Some(AmersfoortToWgs84))
+
   // ---- proj4-string front-end --------------------------------------------
 
   /** Named ellipsoids a proj4 string can reference (public proj data). */
@@ -710,6 +801,10 @@ object Proj {
       case "somerc" =>
         Proj4Crs(Somerc(lat0Deg = num("lat_0", 0), lon0Deg = num("lon_0", 0), k0 = k0,
           fe = num("x_0", 0), fn = num("y_0", 0), a = ea, invF = eInvF), ea, eInvF, toWgs)
+      case "sterea" => // oblique stereographic, conformal-sphere (EPSG 9809)
+        Proj4Crs(ObliqueStereo(lat0Deg = num("lat_0", 0), lon0Deg = num("lon_0", 0),
+          k0 = k0, fe = num("x_0", 0), fn = num("y_0", 0), a = ea, invF = eInvF),
+          ea, eInvF, toWgs)
       case "aea" =>
         require(k0 == 1.0, "+proj=aea does not take a scale factor (+k/+k_0)")
         val lat1 = num("lat_1", num("lat_0", 0))
@@ -718,7 +813,7 @@ object Proj {
           a = ea, invF = eInvF), ea, eInvF, toWgs)
       case other => throw new IllegalArgumentException(
         s"unsupported +proj=$other (supported: longlat, webmerc, merc, " +
-          "utm, tmerc, lcc, aea, somerc, stere-polar)")
+          "utm, tmerc, lcc, aea, somerc, sterea, stere-polar)")
     }
   }
 
@@ -743,6 +838,7 @@ object Proj {
       case "epsg:3031" | "3031" => AntarcticPolarStereo
       case "epsg:27700" | "27700" => BritishNationalGrid
       case "epsg:2056" | "2056" => SwissLv95
+      case "epsg:28992" | "28992" => RdNew
       case UtmRe(series, zone) =>
         val z = zone.toInt
         require(z >= 1 && z <= 60, s"UTM zone $z out of [1,60]")
@@ -750,7 +846,8 @@ object Proj {
       case other => throw new IllegalArgumentException(
         s"unsupported CRS '$other' (supported: EPSG:4326, EPSG:3857, " +
           "EPSG:326xx/327xx, EPSG:2154/3034/3978, EPSG:5070, EPSG:3395, " +
-          "EPSG:3413, EPSG:3031, EPSG:27700, EPSG:2056, or a raw +proj=... string)")
+          "EPSG:3413, EPSG:3031, EPSG:27700, EPSG:2056, EPSG:28992, " +
+          "or a raw +proj=... string)")
     }
   }
 
@@ -764,6 +861,7 @@ object Proj {
       case al: Aea => al.inverse(x, y)
       case m: Merc => m.inverse(x, y)
       case p: PolarStereo => p.inverse(x, y)
+      case o: ObliqueStereo => o.inverse(x, y)
       case Proj4Crs(proj, pa, pInvF, shift) =>
         val (lonD, latD) = proj.inverse(x, y)
         shift match {
@@ -792,6 +890,7 @@ object Proj {
       case al: Aea => al.forward(lon, lat)
       case m: Merc => m.forward(lon, lat)
       case p: PolarStereo => p.forward(lon, lat)
+      case o: ObliqueStereo => o.forward(lon, lat)
       case Proj4Crs(proj, pa, pInvF, shift) =>
         shift match {
           case None => proj.forward(lon, lat)

@@ -418,6 +418,57 @@ class ProjSpec extends AnyFunSuite {
     assert(math.abs(n - 5171848.07) < 0.05, s"N=$n")
   }
 
+  test("RD New (EPSG:28992, oblique stereographic 9809): EPSG worked example, origin, conformality, round trips") {
+    // EPSG GN7-2 oblique stereographic worked example (Amersfoort / RD New):
+    // phi = 53N, lam = 6E (Amersfoort geodetic) -> E 196,105.283 / N 557,057.739
+    val (e1, n1) = Proj.RdNewProj.forward(6.0, 53.0)
+    assert(math.abs(e1 - 196105.283) < 0.02, s"E=$e1")
+    assert(math.abs(n1 - 557057.739) < 0.02, s"N=$n1")
+    // natural origin maps to (FE, FN) and carries scale k0
+    val lat0 = 52.0 + 9.0 / 60 + 22.178 / 3600
+    val lon0 = 5.0 + 23.0 / 60 + 15.5 / 3600
+    val (ox, oy) = Proj.RdNewProj.forward(lon0, lat0)
+    assert(math.abs(ox - 155000.0) < 1e-6 && math.abs(oy - 463000.0) < 1e-6)
+    // conformality: finite-difference scales along parallel and meridian
+    // agree (Bessel ellipsoid arcs), and equal k0 at the origin
+    Seq((lon0, lat0, 0.9999079), (6.0, 53.0, -1.0), (4.5, 51.5, -1.0)).foreach {
+      case (lon, lat, k0) =>
+        val (x1, y1) = Proj.RdNewProj.forward(lon, lat)
+        val (x2, y2) = Proj.RdNewProj.forward(lon + 1e-6, lat)
+        val (x3, y3) = Proj.RdNewProj.forward(lon, lat + 1e-6)
+        val kPar = math.hypot(x2 - x1, y2 - y1) /
+          parallelArc(lat, 1e-6, 6377397.155, 299.1528128)
+        val kMer = math.hypot(x3 - x1, y3 - y1) /
+          meridianArc(lat, 1e-6, 6377397.155, 299.1528128)
+        assert(math.abs(kPar - kMer) < 1e-6, s"isotropy at $lon,$lat: $kPar vs $kMer")
+        if (k0 > 0) assert(math.abs(kPar - k0) < 1e-6, s"origin scale $kPar")
+    }
+    // projection-level round trips across the Dutch domain
+    for (lon <- Seq(3.5, 5.4, 7.1); lat <- Seq(50.8, 52.2, 53.5)) {
+      val (x, y) = Proj.RdNewProj.forward(lon, lat)
+      val (lon2, lat2) = Proj.RdNewProj.inverse(x, y)
+      assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9, s"$lon,$lat")
+    }
+    // routed CRS (datum shift on the hub side): WGS84 round trip + a sane
+    // Amersfoort<->WGS84 displacement (tens of metres) at the origin
+    val rd = Proj.parse("EPSG:28992")
+    val (we, wn) = Proj.transform(lon0, lat0, Proj.LonLat, rd)
+    val d = math.hypot(we - 155000.0, wn - 463000.0)
+    assert(d > 20 && d < 200, s"datum displacement $d m")
+    // 1e-7 deg ~ 1 cm: the Helmert inverse is the standard negated-parameter
+    // approximation, second-order (rotation x translation) terms are mm-level
+    // at ~1.9 arcsec / 4 ppm
+    val (lonB, latB) = Proj.transform(we, wn, rd, Proj.LonLat)
+    assert(math.abs(lonB - lon0) < 1e-7 && math.abs(latB - lat0) < 1e-7)
+    // proj4 sterea spelling binds to the same engine
+    val viaProj4 = Proj.parse("+proj=sterea +lat_0=52.156160555555554 " +
+      "+lon_0=5.387638888888889 +k=0.9999079 +x_0=155000 +y_0=463000 +ellps=bessel " +
+      "+towgs84=565.417,50.3319,465.552,-0.398957,0.343988,-1.8774,4.0725")
+    val (pe, pn) = Proj.transform(5.9, 52.5, Proj.LonLat, viaProj4)
+    val (re, rn) = Proj.transform(5.9, 52.5, Proj.LonLat, rd)
+    assert(math.abs(pe - re) < 1e-3 && math.abs(pn - rn) < 1e-3)
+  }
+
   test("Albers inverse is pole-safe (guarded 3-16 iteration)") {
     val crs = Proj.ConusAlbers
     val (xp, yp) = crs.forward(-96.0, 90.0)
