@@ -621,6 +621,17 @@ object SparkEntry {
           col("mean_r").cast("long").as("mean_r"), col("mean_g").cast("long").as("mean_g"),
           col("mean_b").cast("long").as("mean_b"))
         .orderBy("doc_id")
+    }),
+
+    // ---- BPE-ish token counting (GPT-2-style pre-tokenizer regex; the
+    // token-budget measure a training pipeline filters on). Lookahead-free
+    // pattern, so DuckDB's RE2 evaluates the IDENTICAL regex ----
+    "q45_token_bpe" -> ((s, dir) => {
+      docsT(s, dir)
+        .select(col("doc_id"),
+          token_count(col("text")).cast("long").as("ws_tokens"),
+          token_count_bpe(col("text")).cast("long").as("bpe_tokens"))
+        .orderBy("doc_id")
     })
   )
 
@@ -973,6 +984,15 @@ object SparkEntry {
            |  CASE WHEN $corruptSql THEN NULL ELSE $greenSql END AS mean_g,
            |  CASE WHEN $corruptSql THEN NULL ELSE $blueSql END AS mean_b,
            |  NOT ($corruptSql) AS decode_ok
+           |FROM documents ORDER BY doc_id""".stripMargin
+      },
+      "q45_token_bpe" -> {
+        val pat = vps.text.functions.BpeTokenPattern
+        s"""SELECT doc_id,
+           |  CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+           |       ELSE CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           |  END AS ws_tokens,
+           |  CAST(length(regexp_extract_all(text, '$pat')) AS BIGINT) AS bpe_tokens
            |FROM documents ORDER BY doc_id""".stripMargin
       },
       "q41_simhash_exact" ->

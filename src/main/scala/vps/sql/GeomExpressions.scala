@@ -152,6 +152,46 @@ case class StConvexHull(child: Expression) extends GeomUnary {
   override protected def evalGeom(g: Geometry): Any = Wkb.write(g.convexHull())
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
+/** Envelope as a polygon (JTS getEnvelope: point/degenerate inputs shrink). */
+case class StEnvelope(child: Expression) extends GeomUnary {
+  override def dataType: DataType = GeometryUDT.Instance
+  override protected def evalGeom(g: Geometry): Any = Wkb.write(g.getEnvelope)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+/** Topological boundary (polygon -> rings, line -> endpoints). */
+case class StBoundary(child: Expression) extends GeomUnary {
+  override def dataType: DataType = GeometryUDT.Instance
+  override protected def evalGeom(g: Geometry): Any = Wkb.write(g.getBoundary)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** Shared shape for the binary constructive overlay ops (JTS OverlayNG
+  * under the hood); results canonicalized with norm() so output bytes do not
+  * depend on argument-evaluation artifacts.
+  */
+abstract class GeomBinaryOp extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = GeometryUDT.Instance
+  protected def op(a: Geometry, b: Geometry): Geometry
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Wkb.write(op(Wkb.read(a.asInstanceOf[Array[Byte]]),
+      Wkb.read(b.asInstanceOf[Array[Byte]])).norm())
+}
+case class StIntersection(left: Expression, right: Expression) extends GeomBinaryOp {
+  override protected def op(a: Geometry, b: Geometry): Geometry = a.intersection(b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StUnion(left: Expression, right: Expression) extends GeomBinaryOp {
+  override protected def op(a: Geometry, b: Geometry): Geometry = a.union(b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StDifference(left: Expression, right: Expression) extends GeomBinaryOp {
+  override protected def op(a: Geometry, b: Geometry): Geometry = a.difference(b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StSymDifference(left: Expression, right: Expression) extends GeomBinaryOp {
+  override protected def op(a: Geometry, b: Geometry): Geometry = a.symDifference(b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
 /** Number of components in a (multi-)geometry (JTS getNumGeometries). */
 case class StNumGeometries(child: Expression) extends GeomUnary {
   override def dataType: DataType = IntegerType
@@ -775,6 +815,12 @@ object functions {
   def st_numGeometries(g: Column): Column = c(StNumGeometries(ex(g)))
   def st_buffer(g: Column, dist: Column): Column = c(StBuffer(ex(g), ex(dist.cast("double"))))
   def st_convexHull(g: Column): Column = c(StConvexHull(ex(g)))
+  def st_envelope(g: Column): Column = c(StEnvelope(ex(g)))
+  def st_boundary(g: Column): Column = c(StBoundary(ex(g)))
+  def st_intersection(a: Column, b: Column): Column = c(StIntersection(ex(a), ex(b)))
+  def st_union(a: Column, b: Column): Column = c(StUnion(ex(a), ex(b)))
+  def st_difference(a: Column, b: Column): Column = c(StDifference(ex(a), ex(b)))
+  def st_symDifference(a: Column, b: Column): Column = c(StSymDifference(ex(a), ex(b)))
   def st_isValid(g: Column): Column = c(StIsValid(ex(g)))
   /** Aggregate dissolve: `groupBy(key).agg(st_union_agg(geom))`. */
   def st_union_agg(g: Column): Column = c(StUnionAgg(ex(g)).toAggregateExpression())
@@ -831,6 +877,12 @@ object functions {
     r("st_numgeometries", e => StNumGeometries(e(0)))
     r("st_isvalid", e => StIsValid(e(0)))
     r("st_union_agg", e => StUnionAgg(e(0)).toAggregateExpression())
+    r("st_envelope", e => StEnvelope(e(0)))
+    r("st_boundary", e => StBoundary(e(0)))
+    r("st_intersection", e => StIntersection(e(0), e(1)))
+    r("st_union", e => StUnion(e(0), e(1)))
+    r("st_difference", e => StDifference(e(0), e(1)))
+    r("st_symdifference", e => StSymDifference(e(0), e(1)))
     r("st_contains", e => StContains(e(0), e(1)))
     r("st_intersects", e => StIntersects(e(0), e(1)))
     r("st_distance", e => StDistance(e(0), e(1)))

@@ -560,6 +560,16 @@ object functions {
     when(length(trim(text)) === 0, lit(0))
       .otherwise(size(split(trim(text), "\\s+")))
 
+  /** GPT-2-style pre-tokenizer regex (the "BPE-ish" count a training-data
+    * pipeline budgets with): a token is an optional leading space + a letter
+    * run, digit run, or other-symbol run. Pure builtin
+    * (`regexp_extract_all`), lookahead-free so RE2-based engines (DuckDB)
+    * evaluate the identical pattern — DuckDB-oracle-able.
+    */
+  val BpeTokenPattern = " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+  def token_count_bpe(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0)))
+
   /** Quality heuristics: length, tokens, mean token length, punctuation &
     * stopword-ish ratios — all builtin compositions.
     */

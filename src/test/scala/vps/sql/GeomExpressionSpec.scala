@@ -205,6 +205,41 @@ class GeomExpressionSpec extends AnyFunSuite {
     assert(math.abs(got("G")._1 - 4097.0) < 1e-9 && got("G")._2 === 4097)
   }
 
+  test("binary overlay ops + envelope/boundary: exact areas through plans and SQL") {
+    // overlapping unit squares: |A| = |B| = 1, |A inter B| = 0.25,
+    // |A union B| = 1.75, |A \ B| = 0.75, |A xor B| = 1.5
+    val df = Seq((
+      "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+      "POLYGON ((0.5 0.5, 1.5 0.5, 1.5 1.5, 0.5 1.5, 0.5 0.5))")).toDF("wa", "wb")
+      .select(st_geomFromWKT($"wa").as("a"), st_geomFromWKT($"wb").as("b"))
+    val row = df.select(
+      st_area(st_intersection($"a", $"b")),
+      st_area(st_union($"a", $"b")),
+      st_area(st_difference($"a", $"b")),
+      st_area(st_symDifference($"a", $"b")),
+      st_area(st_envelope(st_union($"a", $"b"))),
+      st_length(st_boundary($"a"))).as[(Double, Double, Double, Double, Double, Double)].head()
+    assert(math.abs(row._1 - 0.25) < 1e-9 && math.abs(row._2 - 1.75) < 1e-9)
+    assert(math.abs(row._3 - 0.75) < 1e-9 && math.abs(row._4 - 1.5) < 1e-9)
+    assert(math.abs(row._5 - 2.25) < 1e-9) // envelope of the union: 1.5 x 1.5
+    assert(math.abs(row._6 - 4.0) < 1e-9) // square boundary perimeter
+    // SQL surface
+    df.createOrReplaceTempView("ovl")
+    vps.sql.functions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT st_area(st_intersection(a, b)), st_area(st_symdifference(a, b)) FROM ovl")
+      .as[(Double, Double)].head()
+    assert(math.abs(viaSql._1 - 0.25) < 1e-9 && math.abs(viaSql._2 - 1.5) < 1e-9)
+    // disjoint + empty-result branches
+    val disjoint = Seq(("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+      "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))")).toDF("wa", "wb")
+      .select(st_geomFromWKT($"wa").as("a"), st_geomFromWKT($"wb").as("b"))
+    val dj = disjoint.select(
+      st_isEmpty(st_intersection($"a", $"b")), st_numGeometries(st_union($"a", $"b")))
+      .as[(Boolean, Int)].head()
+    assert(dj === ((true, 2)))
+  }
+
   test("st_buffer and st_convex_hull") {
     val df = Seq("POINT (10 10)").toDF("wkt").select(st_geomFromWKT($"wkt").as("g"))
     // default JTS quadrant segments (8): buffer area is slightly under pi*r^2
