@@ -205,6 +205,28 @@ class GeomExpressionSpec extends AnyFunSuite {
     assert(math.abs(got("G")._1 - 4097.0) < 1e-9 && got("G")._2 === 4097)
   }
 
+  test("clusterUnion equals UnaryUnionOp on random overlapping/disjoint mixes (seeded property)") {
+    val gf = vps.geom.Geo.factory
+    val rnd = new scala.util.Random(1234)
+    (0 until 20).foreach { round =>
+      val n = 5 + rnd.nextInt(40)
+      val geoms: Seq[org.locationtech.jts.geom.Geometry] = (0 until n).map { _ =>
+        val x = rnd.nextDouble() * 20
+        val y = rnd.nextDouble() * 20
+        val w = 0.5 + rnd.nextDouble() * 3 // sizes force a mix of overlap + isolation
+        vps.geom.Geo.box(x, y, x + w, y + w * (0.5 + rnd.nextDouble()))
+      }
+      val viaCluster = vps.sql.StUnionAgg.clusterUnion(geoms).norm()
+      val coll = new java.util.ArrayList[org.locationtech.jts.geom.Geometry](n)
+      geoms.foreach(coll.add)
+      val viaJts = org.locationtech.jts.operation.union.UnaryUnionOp.union(coll).norm()
+      assert(math.abs(viaCluster.getArea - viaJts.getArea) < 1e-9, s"round $round area")
+      assert(viaCluster.getNumGeometries === viaJts.getNumGeometries, s"round $round components")
+      // topological equality up to FP noise: symmetric difference ~ empty
+      assert(viaCluster.symDifference(viaJts).getArea < 1e-9, s"round $round symdiff")
+    }
+  }
+
   test("binary overlay ops + envelope/boundary: exact areas through plans and SQL") {
     // overlapping unit squares: |A| = |B| = 1, |A inter B| = 0.25,
     // |A union B| = 1.75, |A \ B| = 0.75, |A xor B| = 1.5
