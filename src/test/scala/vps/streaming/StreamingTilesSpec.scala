@@ -32,8 +32,10 @@ class StreamingTilesSpec extends AnyFunSuite {
     assert(totalFeatures === 200L)
   }
 
-  test("foreachBatch incremental maintenance: diff stream refreshes only dirty tiles") {
-    import org.apache.spark.sql.functions._
+  // shared drill: stream diffs -> foreachBatch refreshTiles (at the given
+  // driver-collect cap) -> on-disk tree must equal the full render
+  // restricted to the dirty union
+  private def incrementalDrill(maxDriverKeys: Int): Unit = {
     import spark.implicits._
     val zoom = 5
     val snapshot = vps.docs.InterleavedDocs.extractGeoSpans(
@@ -54,7 +56,8 @@ class StreamingTilesSpec extends AnyFunSuite {
         if (!batch.isEmpty) {
           dirtyUnion ++= DirtyTiles.fromDiffs(batch, zoom)
             .select($"x", $"y").as[(Int, Int)].collect()
-          val tiles = DirtyTiles.refreshTiles(snapshot, batch, zoom)
+          val tiles = DirtyTiles.refreshTiles(snapshot, batch, zoom,
+            maxDriverKeys = maxDriverKeys)
           vps.tiling.TileSink.write(tiles, out)
           ()
         }
@@ -75,5 +78,13 @@ class StreamingTilesSpec extends AnyFunSuite {
     assert(written.nonEmpty)
     written.foreach { case (k, bytes) => assert(bytes === full(k), s"tile $k differs") }
     snapshot.unpersist()
+  }
+
+  test("foreachBatch incremental maintenance: diff stream refreshes only dirty tiles") {
+    incrementalDrill(maxDriverKeys = 16384) // driver-set path
+  }
+
+  test("foreachBatch incremental maintenance through the JOIN path (dirty set over the collect cap)") {
+    incrementalDrill(maxDriverKeys = 1) // every batch exceeds the cap
   }
 }
