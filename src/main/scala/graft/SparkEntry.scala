@@ -632,6 +632,17 @@ object SparkEntry {
           token_count(col("text")).cast("long").as("ws_tokens"),
           token_count_bpe(col("text")).cast("long").as("bpe_tokens"))
         .orderBy("doc_id")
+    }),
+
+    // ---- Gopher-style repetition filtering: duplicate character-5-gram
+    // fraction, the boilerplate signal a pre-training pipeline thresholds.
+    // Builtin composition end-to-end, recomputed exactly by DuckDB ----
+    "q46_repetition" -> ((s, dir) => {
+      docsT(s, dir)
+        .select(col("doc_id"),
+          floor(char_ngram_repetition(col("text"), 5) * 100000).cast("long").as("rep5_e5"),
+          floor(char_ngram_repetition(col("text"), 10) * 100000).cast("long").as("rep10_e5"))
+        .orderBy("doc_id")
     })
   )
 
@@ -993,6 +1004,18 @@ object SparkEntry {
            |       ELSE CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT)
            |  END AS ws_tokens,
            |  CAST(length(regexp_extract_all(text, '$pat')) AS BIGINT) AS bpe_tokens
+           |FROM documents ORDER BY doc_id""".stripMargin
+      },
+      "q46_repetition" -> {
+        def rep(n: Int) =
+          s"""CASE WHEN length(text) - ${n - 1} <= 0 THEN CAST(0 AS BIGINT)
+             |    ELSE CAST(floor((1.0 - CAST(len(list_distinct(list_transform(
+             |           generate_series(1, length(text) - ${n - 1}),
+             |           i -> substr(text, i, $n)))) AS DOUBLE)
+             |         / (length(text) - ${n - 1})) * 100000) AS BIGINT) END""".stripMargin
+        s"""SELECT doc_id,
+           |  ${rep(5)} AS rep5_e5,
+           |  ${rep(10)} AS rep10_e5
            |FROM documents ORDER BY doc_id""".stripMargin
       },
       "q41_simhash_exact" ->

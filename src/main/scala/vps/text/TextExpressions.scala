@@ -570,6 +570,25 @@ object functions {
   def token_count_bpe(text: Column): Column =
     size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0)))
 
+  /** Gopher/C4-style repetition signal: the fraction of character n-grams
+    * that are duplicates, `1 - distinct/total` (0 for texts shorter than n).
+    * Pure builtin composition (`sequence` -> `transform`/`substr` ->
+    * `array_distinct`), so DuckDB recomputes it exactly with
+    * generate_series/list_transform/list_distinct. Boilerplate-heavy pages
+    * score high; natural prose scores low — the classic pre-training
+    * quality filter alongside [[quality_features]].
+    *
+    * The short-text guard matters: Spark's `sequence(1, 0)` steps DOWNWARD
+    * (returns [1, 0]), so the gram list is only built when length >= n.
+    */
+  def char_ngram_repetition(text: Column, n: Int): Column = {
+    require(n >= 1, s"char_ngram_repetition: bad n $n")
+    val total = length(text) - (n - 1)
+    val grams = transform(sequence(lit(1), total), i => text.substr(i, lit(n)))
+    when(total <= 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(grams)).cast("double") / total.cast("double"))
+  }
+
   /** Quality heuristics: length, tokens, mean token length, punctuation &
     * stopword-ish ratios — all builtin compositions.
     */

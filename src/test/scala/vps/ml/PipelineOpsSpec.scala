@@ -317,4 +317,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(row._2 === TextOps.fingerprint("hello world  foo"))
     assert(row._4 === 0.0)
   }
+
+  test("BPE-ish token count and char-ngram repetition: hand-computed cases") {
+    val rows = Seq(
+      ("hello world", 2, 0.0), // "hello"+" world"; 10 distinct 2-grams of 10
+      ("don't stop!", 5, -1.0), // "don" "'" "t" " stop" "!"
+      ("ababababab", 1, 1.0 - 2.0 / 9.0), // one letter run; 9 bigrams, {ab, ba}
+      ("aaaaaa", 1, 1.0 - 1.0 / 5.0),
+      ("a", 1, 0.0), // shorter than n -> 0 (the sequence(1,0) guard)
+      ("", 0, 0.0))
+      .toDF("text", "bpe", "rep")
+    val got = rows.select($"text", token_count_bpe($"text").as("n"),
+      char_ngram_repetition($"text", 2).as("r"), $"bpe", $"rep")
+      .as[(String, Int, Double, Int, Double)].collect()
+    got.foreach { case (t, n, r, eBpe, eRep) =>
+      assert(n === eBpe, s"bpe tokens of '$t'")
+      if (eRep >= 0) assert(math.abs(r - eRep) < 1e-12, s"repetition of '$t': $r")
+    }
+  }
 }
