@@ -580,6 +580,11 @@ object functions {
     *
     * The short-text guard matters: Spark's `sequence(1, 0)` steps DOWNWARD
     * (returns [1, 0]), so the gram list is only built when length >= n.
+    *
+    * Memory is O(len x n) chars per row (the transient gram array) — fine
+    * for web-document lengths; for book-length texts compute the signal on
+    * a bounded prefix (`substring`) or via [[doc_fingerprint]]-style rolling
+    * hashes instead.
     */
   def char_ngram_repetition(text: Column, n: Int): Column = {
     require(n >= 1, s"char_ngram_repetition: bad n $n")
