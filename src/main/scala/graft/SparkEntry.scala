@@ -29,7 +29,12 @@ object SparkEntry {
   private def docsT(s: SparkSession, dir: String): DataFrame = {
     val df = t(dir, "documents")(s)
     val parallelism = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism) else df
+    // split-count probe without materializing an RDD lineage on the driver:
+    // the scan yields ~ceil(bytes / maxPartitionBytes) input splits, so a
+    // table smaller than parallelism x maxPartitionBytes cannot fill the cores
+    val maxSplitBytes = s.sessionState.conf.filesMaxPartitionBytes
+    val scanBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (scanBytes < BigInt(maxSplitBytes) * parallelism) df.repartition(parallelism) else df
   }
 
   /** Geo points extracted from interleaved-doc spans (the engine's input). */

@@ -753,8 +753,12 @@ object Proj {
         require(toWgs.isEmpty, "datum-shifted longlat is not a plane CRS this engine targets")
         LonLat
       case "webmerc" => WebMercator
-      case "merc" if kv.get("a").contains("6378137") && kv.get("b").contains("6378137") =>
-        WebMercator // the spherical web-mercator spelling
+      case "merc" if kv.get("a").contains("6378137") && kv.get("b").contains("6378137") &&
+          !Seq("lat_ts", "k", "k_0", "x_0", "y_0", "lon_0").exists(kv.contains) =>
+        // the spherical web-mercator spelling — only when no parameter would
+        // be discarded; otherwise fall through to the general merc engine
+        // (Merc degrades exactly to the sphere when invF is infinite)
+        WebMercator
       case "merc" =>
         // general (ellipsoidal) Mercator: +lat_ts (variant B) wins over +k
         val m = kv.get("lat_ts").map(_.toDouble) match {

@@ -230,8 +230,13 @@ object MediaPipeline {
 final class ImageIoCodec extends MediaPipeline.MediaCodec {
   import MediaPipeline.Decoded
 
-  @transient private lazy val readers =
+  // one reader per format, created lazily and intentionally leaked per task
+  // deserialization (bounded at 4 formats); disabling the ImageIO disk cache
+  // is process-wide state, so it is set ONCE per JVM, not per image
+  @transient private lazy val readers = {
+    ImageIoCodec.disableDiskCache
     new java.util.HashMap[String, javax.imageio.ImageReader]()
+  }
 
   private def formatOf(b: Array[Byte]): String =
     if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P'.toByte && b(2) == 'N'.toByte) "png"
@@ -248,7 +253,6 @@ final class ImageIoCodec extends MediaPipeline.MediaCodec {
         if (fmt == null) Decoded.failed
         else
           try {
-            javax.imageio.ImageIO.setUseCache(false)
             val reader = readers.computeIfAbsent(fmt,
               f => javax.imageio.ImageIO.getImageReadersByFormatName(f).next())
             val iis = javax.imageio.ImageIO.createImageInputStream(
@@ -285,4 +289,12 @@ final class ImageIoCodec extends MediaPipeline.MediaCodec {
           } catch { case scala.util.control.NonFatal(_) => Decoded.failed }
       }
     }
+}
+
+object ImageIoCodec {
+  /** JVM-once side effect: the in-memory path avoids temp-file churn for the
+    * small thumbnails this pipeline decodes. `lazy val` gives thread-safe
+    * exactly-once initialization across all tasks in an executor.
+    */
+  private lazy val disableDiskCache: Unit = javax.imageio.ImageIO.setUseCache(false)
 }

@@ -118,10 +118,16 @@ object Raster {
         val cj = clamp(((env.getMaxY - c.y) / dy).toInt, resolution)
         cells(cj * resolution + ci) += w
       case other if !other.isEmpty &&
-          (other.isInstanceOf[org.locationtech.jts.geom.Polygonal] ||
-            other.isInstanceOf[org.locationtech.jts.geom.Lineal]) =>
+          other.isInstanceOf[org.locationtech.jts.geom.Lineal] =>
         burnScan(other, w, env, resolution, cells)
-      case other => // multipoints, mixed collections: reference path
+      case other if !other.isEmpty &&
+          other.isInstanceOf[org.locationtech.jts.geom.Polygonal] && other.isValid =>
+        // parity interior fill requires a topologically valid boundary; a
+        // self-intersecting ring can flip even-odd parity away from the
+        // per-cell JTS answer, so invalid polygons take the reference path
+        // (isValid is O(vertices log vertices) — cheap next to prepare+scan)
+        burnScan(other, w, env, resolution, cells)
+      case other => // multipoints, mixed collections, invalid polygons
         burnPerCell(other, w, env, resolution, cells)
     }
 

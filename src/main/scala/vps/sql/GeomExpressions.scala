@@ -538,9 +538,9 @@ case class StIntersects(left: Expression, right: Expression) extends GeomBinaryP
   * different geometries. The caller's contract is that the key identifies one
   * geometry WITHIN the query (e.g. the join's `poly_id`); as a guard against
   * violations (multipart regions stored as several rows under one id), every
-  * hit is sanity-checked against the row's WKB length + head/tail bytes and
-  * silently re-prepared on mismatch — wrong-id rows then cost cache churn,
-  * never wrong join results.
+  * hit is verified against the row's full WKB bytes (`Arrays.equals` — still
+  * far cheaper than re-prepare) and silently re-prepared on mismatch —
+  * wrong-id rows then cost cache churn, never wrong join results.
   */
 case class StIntersectsKeyed(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with CodegenFallback {
@@ -566,25 +566,16 @@ case class StIntersectsKeyed(first: Expression, second: Expression, third: Expre
     copy(f, s, t)
 }
 object StIntersectsKeyed {
-  /** Cached prepared geometry + an O(1) content discriminator (length, first
-    * and last 8 bytes) — catches a same-id different-geometry contract
-    * violation without re-reading the full WKB.
+  /** Cached prepared geometry + the exact WKB it was prepared from. Hits are
+    * verified with full `Arrays.equals` — O(len), but still far cheaper than
+    * the WKB parse + prepare it saves, and immune to the head/tail-collision
+    * trap (gridded multipart regions under one id share length, a
+    * near-constant 8-byte header and a closing-vertex y — a weaker
+    * discriminator silently reused stale geometry for those).
     */
   private[sql] final class Entry(
-      wkb: Array[Byte], val prepared: org.locationtech.jts.geom.prep.PreparedGeometry) {
-    private val len = wkb.length
-    private val head = sliceBits(wkb, 0)
-    private val tail = sliceBits(wkb, math.max(0, wkb.length - 8))
-    def matches(other: Array[Byte]): Boolean =
-      other.length == len && sliceBits(other, 0) == head &&
-        sliceBits(other, math.max(0, other.length - 8)) == tail
-  }
-  private def sliceBits(b: Array[Byte], from: Int): Long = {
-    var v = 0L
-    var i = from
-    val end = math.min(b.length, from + 8)
-    while (i < end) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
-    v
+      val wkb: Array[Byte], val prepared: org.locationtech.jts.geom.prep.PreparedGeometry) {
+    def matches(other: Array[Byte]): Boolean = java.util.Arrays.equals(other, wkb)
   }
 }
 /** st_within(a, b) = "a within b" (PostGIS argument order). The container is

@@ -418,6 +418,27 @@ class ProjSpec extends AnyFunSuite {
     assert(math.abs(n - 5171848.07) < 0.05, s"N=$n")
   }
 
+  test("sphere-Mercator strings with extra parameters route to the general engine, not the webmerc shortcut") {
+    // a bare spherical spelling IS web mercator
+    assert(Proj.parse("+proj=merc +a=6378137 +b=6378137") === Proj.WebMercator)
+    // but +lat_ts / +k / offsets must NOT be silently discarded: the sphere
+    // Mercator with a standard parallel scales x and y by cos(lat_ts)
+    val ts = Proj.parse("+proj=merc +a=6378137 +b=6378137 +lat_ts=30")
+    assert(ts !== Proj.WebMercator)
+    val (wx, wy) = Proj.transform(10.0, 45.0, Proj.LonLat, Proj.WebMercator)
+    val (sx, sy) = Proj.transform(10.0, 45.0, Proj.LonLat, ts)
+    val c = math.cos(math.toRadians(30.0))
+    assert(math.abs(sx - wx * c) < 1e-6 && math.abs(sy - wy * c) < 1e-6,
+      s"sphere lat_ts=30 should be cos(30)x web mercator: ($sx,$sy) vs (${wx * c},${wy * c})")
+    // false offsets shift, scale factor multiplies
+    val off = Proj.parse("+proj=merc +a=6378137 +b=6378137 +x_0=500000 +y_0=-1000")
+    val (ox, oy) = Proj.transform(10.0, 45.0, Proj.LonLat, off)
+    assert(math.abs(ox - (wx + 500000)) < 1e-6 && math.abs(oy - (wy - 1000)) < 1e-6)
+    val k = Proj.parse("+proj=merc +a=6378137 +b=6378137 +k=0.5")
+    val (kx, ky) = Proj.transform(10.0, 45.0, Proj.LonLat, k)
+    assert(math.abs(kx - wx * 0.5) < 1e-6 && math.abs(ky - wy * 0.5) < 1e-6)
+  }
+
   test("RD New (EPSG:28992, oblique stereographic 9809): EPSG worked example, origin, conformality, round trips") {
     // EPSG GN7-2 oblique stereographic worked example (Amersfoort / RD New):
     // phi = 53N, lam = 6E (Amersfoort geodetic) -> E 196,105.283 / N 557,057.739

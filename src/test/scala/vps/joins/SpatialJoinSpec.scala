@@ -75,8 +75,8 @@ class SpatialJoinSpec extends AnyFunSuite {
   test("keyed cache survives duplicate ids bound to different geometries (multipart rows)") {
     // a multipart region stored as TWO rows under poly_id=0: a blind id-keyed
     // cache would evaluate the second part against the first part's prepared
-    // geometry and lose point 2; the per-hit WKB length/head/tail check must
-    // re-prepare instead
+    // geometry and lose point 2; the per-hit full-WKB verify must re-prepare
+    // instead
     val pts = Seq((1L, 5.0, 5.0), (2L, 55.0, 55.0), (3L, -170.0, -70.0))
       .toDF("id", "lon", "lat")
       .select($"id", st_point($"lon", $"lat").as("geom"))
@@ -88,6 +88,23 @@ class SpatialJoinSpec extends AnyFunSuite {
     val got = SpatialJoins.pipCellJoin(pts.coalesce(1), polys, level = 3)
       .select($"id").as[Long].collect().toSet
     assert(got === Set(1L, 2L), s"duplicate-id parts must both match: $got")
+  }
+
+  test("keyed cache guard defeats head/tail collisions: same-latitude gridded parts under one id") {
+    // adversarial pair for a weak (length + first/last-8-byte) discriminator:
+    // both parts are axis-aligned single-ring boxes with the SAME vertex count,
+    // the same near-constant WKB header, and the same closing-vertex latitude
+    // (y rides the last 8 bytes) — only a full-bytes verify tells them apart
+    val pts = Seq((1L, 5.0, 5.0), (2L, 55.0, 5.0)).toDF("id", "lon", "lat")
+      .select($"id", st_point($"lon", $"lat").as("geom"))
+    val polys = Seq(
+      (0L, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),
+      (0L, "POLYGON ((50 0, 60 0, 60 10, 50 10, 50 0))"))
+      .toDF("poly_id", "wkt")
+      .select($"poly_id", st_geomFromWKT($"wkt").as("geom"))
+    val got = SpatialJoins.pipCellJoin(pts.coalesce(1), polys, level = 3)
+      .select($"id").as[Long].collect().toSet
+    assert(got === Set(1L, 2L), s"same-latitude duplicate-id parts must both match: $got")
   }
 
   test("pipCellJoin with non-numeric poly ids falls back to the content-hash refine") {

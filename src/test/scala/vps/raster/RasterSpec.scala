@@ -134,6 +134,25 @@ class RasterSpec extends AnyFunSuite {
     }
   }
 
+  test("invalid (self-intersecting) polygons route through the per-cell reference in burn()") {
+    // a bowtie's even-odd centerline parity can diverge from the per-cell JTS
+    // answer; burn() must dispatch invalid Polygonal input to burnPerCell so
+    // the byte-equality contract holds for ALL inputs, not just valid ones
+    val res = 64
+    val env = new org.locationtech.jts.geom.Envelope(0.0, 64.0, 0.0, 64.0)
+    val gf = new org.locationtech.jts.geom.GeometryFactory()
+    val rdr = new org.locationtech.jts.io.WKTReader(gf)
+    val bowtie = rdr.read("POLYGON ((4 4, 60 60, 60 4, 4 60, 4 4))")
+    assert(!bowtie.isValid)
+    def run(f: (org.locationtech.jts.geom.Geometry, Double,
+        org.locationtech.jts.geom.Envelope, Int, Array[Double]) => Unit): Seq[Double] = {
+      val cells = new Array[Double](res * res)
+      f(bowtie, 1.0, env, res, cells)
+      cells.toSeq
+    }
+    assert(run(Raster.burn) === run(Raster.burnPerCell))
+  }
+
   test("hot tile: the exchange carries O(partitions) partial grids, not points") {
     val n = 50000
     // all points land in ONE zoom-4 tile (tile width 22.5 deg); 4 input
