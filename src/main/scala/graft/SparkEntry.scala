@@ -530,17 +530,28 @@ object SparkEntry {
         .orderBy("doc_id", "span_offset")
     }),
 
-    // ---- dissolve (st_union_agg) + st_make_valid: geometry union is not
-    // ANSI-SQL-expressible -> rows-only here; GeomExpressionSpec carries the
-    // correctness gate (exact union areas, component counts, bowtie repair) ----
+    // ---- dissolve (st_union_agg) + st_make_valid over 60 deterministic
+    // integer boxes with REAL overlaps (grp = poly_id % 5, 12 boxes each):
+    // the DuckDB oracle recomputes the union area exactly by coordinate-
+    // compressed grid sweep and the part count by recursive-CTE connectivity
+    // (boxes share edges/areas, never lone corner points, so JTS's merge
+    // semantics and rectangle-overlap connectivity agree) ----
     "q40_dissolve" -> ((s, dir) => {
-      val polys = boxPolys(s).withColumn("grp", col("poly_id") % 5)
+      val polys = s.range(0, 60).toDF("poly_id")
+        .select(col("poly_id"), (col("poly_id") % 5).as("grp"),
+          (col("poly_id") * 37 % 100 - 50).cast("double").as("x0"),
+          (col("poly_id") * 53 % 80 - 40).cast("double").as("y0"))
+        .select(col("poly_id"), col("grp"), st_geomFromWKT(format_string(
+          "POLYGON ((%.1f %.1f, %.1f %.1f, %.1f %.1f, %.1f %.1f, %.1f %.1f))",
+          col("x0"), col("y0"), col("x0") + 20.0, col("y0"),
+          col("x0") + 20.0, col("y0") + 16.0, col("x0"), col("y0") + 16.0,
+          col("x0"), col("y0"))).as("geom"))
       polys.groupBy("grp")
         .agg(vps.sql.functions.st_union_agg(
           vps.sql.functions.st_makeValid(col("geom"))).as("u"))
         .select(col("grp"),
           floor(st_area(col("u")) * 100).cast("long").as("area_e2"),
-          st_numGeometries(col("u")).as("n_parts"))
+          st_numGeometries(col("u")).cast("long").as("n_parts"))
         .orderBy("grp")
     }),
 
@@ -1058,12 +1069,90 @@ object SparkEntry {
           |  (doc_id * 101) % 256 AS mean_r,
           |  (doc_id * 151) % 256 AS mean_g,
           |  (doc_id * 197) % 256 AS mean_b
-          |FROM m ORDER BY doc_id""".stripMargin
-      // q15/q16/q17 (minhash/simhash/embedding near-dup), q22 (langid),
-      // q23 (fingerprint), q42 (embedding-CC membership): custom hash kernels
-      // — not ANSI-SQL expressible; the driver records rows-only checks,
-      // ScalaTest carries the correctness gate (planted-duplicate oracles in
-      // PipelineOpsSpec).
+          |FROM m ORDER BY doc_id""".stripMargin,
+      // rolling-hash fingerprint mirrored in SQL: the polynomial fold runs
+      // over UTF-16 code units == unicode codepoints (corpus is ASCII;
+      // list_reduce over string_split), and the splitmix64 finalizer is
+      // HUGEINT arithmetic mod 2^64 with the multiplies split into 32-bit
+      // halves (a direct 64x64 product overflows HUGEINT)
+      "q23_fingerprint" -> {
+        val two64 = "18446744073709551616"
+        def mulMod(z: String, m: Long): String = {
+          val lo = m & 0xffffffffL
+          val hi = m >>> 32
+          s"((($z)*$lo + ((($z)*$hi) % 4294967296) * 4294967296) % $two64)"
+        }
+        s"""WITH h0 AS (
+           |  SELECT doc_id, list_reduce(
+           |    list_prepend(CAST(0 AS HUGEINT),
+           |      list_transform(string_split(text, ''), c -> CAST(unicode(c) AS HUGEINT))),
+           |    (h, c) -> (h * 1315423911 + c) % $two64) AS h
+           |  FROM documents),
+           |m1 AS (SELECT doc_id, (h + 11400714819323198485) % $two64 AS z FROM h0),
+           |m2 AS (SELECT doc_id, ${mulMod("xor(z, z // 1073741824)", 0xbf58476d1ce4e5b9L)} AS z FROM m1),
+           |m3 AS (SELECT doc_id, ${mulMod("xor(z, z // 134217728)", 0x94d049bb133111ebL)} AS z FROM m2),
+           |m4 AS (SELECT doc_id, xor(z, z // 2147483648) AS z FROM m3)
+           |SELECT doc_id,
+           |  CAST(CASE WHEN z >= 9223372036854775808 THEN z - $two64 ELSE z END AS BIGINT) AS fp
+           |FROM m4 ORDER BY doc_id""".stripMargin
+      },
+      // dissolve oracle: union area by coordinate-compressed grid sweep,
+      // part count by recursive min-label propagation over rectangle
+      // edge/area connectivity (corner-only touches excluded — none exist in
+      // this fixture — matching JTS's merge semantics)
+      "q40_dissolve" ->
+        """WITH RECURSIVE p AS (
+          |  SELECT range AS poly_id, range % 5 AS grp,
+          |         CAST((range*37) % 100 - 50 AS DOUBLE) AS x0, CAST((range*53) % 80 - 40 AS DOUBLE) AS y0,
+          |         CAST((range*37) % 100 - 30 AS DOUBLE) AS x1, CAST((range*53) % 80 - 24 AS DOUBLE) AS y1
+          |  FROM range(0, 60)),
+          |xs AS (SELECT DISTINCT grp, x FROM (SELECT grp, x0 AS x FROM p UNION ALL SELECT grp, x1 FROM p)),
+          |xi AS (SELECT grp, x AS xa, lead(x) OVER (PARTITION BY grp ORDER BY x) AS xb FROM xs),
+          |ys AS (SELECT DISTINCT grp, y FROM (SELECT grp, y0 AS y FROM p UNION ALL SELECT grp, y1 FROM p)),
+          |yi AS (SELECT grp, y AS ya, lead(y) OVER (PARTITION BY grp ORDER BY y) AS yb FROM ys),
+          |cells AS (SELECT xi.grp, xa, xb, ya, yb FROM xi JOIN yi ON xi.grp = yi.grp
+          |          WHERE xb IS NOT NULL AND yb IS NOT NULL),
+          |cov AS (SELECT DISTINCT c.grp, c.xa, c.xb, c.ya, c.yb FROM cells c JOIN p
+          |        ON p.grp = c.grp AND p.x0 <= c.xa AND c.xb <= p.x1 AND p.y0 <= c.ya AND c.yb <= p.y1),
+          |area AS (SELECT grp, SUM((xb-xa)*(yb-ya)) AS a FROM cov GROUP BY grp),
+          |edges AS (SELECT a.poly_id AS u, b.poly_id AS v FROM p a JOIN p b
+          |          ON a.grp = b.grp AND a.poly_id <> b.poly_id
+          |          AND LEAST(a.x1,b.x1) - GREATEST(a.x0,b.x0) >= 0
+          |          AND LEAST(a.y1,b.y1) - GREATEST(a.y0,b.y0) >= 0
+          |          AND (LEAST(a.x1,b.x1) - GREATEST(a.x0,b.x0) > 0
+          |            OR LEAST(a.y1,b.y1) - GREATEST(a.y0,b.y0) > 0)),
+          |reach AS (SELECT poly_id AS id, poly_id AS lab FROM p
+          |          UNION
+          |          SELECT e.u AS id, r.lab FROM reach r JOIN edges e ON e.v = r.id),
+          |comp AS (SELECT id, MIN(lab) AS lab FROM reach GROUP BY id),
+          |nparts AS (SELECT p.grp AS grp, COUNT(DISTINCT c.lab) AS n FROM comp c JOIN p ON p.poly_id = c.id GROUP BY p.grp)
+          |SELECT a.grp AS grp, CAST(FLOOR(a.a*100) AS BIGINT) AS area_e2, CAST(nparts.n AS BIGINT) AS n_parts
+          |FROM area a JOIN nparts ON a.grp = nparts.grp ORDER BY grp""".stripMargin,
+      // embedding near-dup membership: the oracle is the FULL all-pairs
+      // cosine graph (>= 0.98, DOUBLE precision) with connected components
+      // by recursive min-label propagation — it independently re-derives
+      // both the pair discovery the LSH path must not miss and the
+      // grouping the distributed CC must produce
+      "q42_embed_members" ->
+        """WITH RECURSIVE base AS (
+          |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |corpus AS (
+          |  SELECT CAST(vec_id AS BIGINT) AS id, v FROM base
+          |  UNION ALL SELECT CAST(vec_id + 200000 AS BIGINT), v FROM base WHERE vec_id < 100
+          |  UNION ALL SELECT CAST(vec_id + 400000 AS BIGINT), v FROM base WHERE vec_id < 100),
+          |pairs AS (
+          |  SELECT a.id AS u, b.id AS w FROM corpus a JOIN corpus b
+          |  ON a.id < b.id AND list_cosine_similarity(a.v, b.v) >= 0.98),
+          |nodes AS (SELECT DISTINCT id FROM (SELECT u AS id FROM pairs UNION ALL SELECT w AS id FROM pairs)),
+          |edges AS (SELECT u, w FROM pairs UNION ALL SELECT w AS u, u AS w FROM pairs),
+          |reach AS (SELECT id, id AS lab FROM nodes
+          |          UNION
+          |          SELECT e.u AS id, r.lab FROM reach r JOIN edges e ON e.w = r.id)
+          |SELECT id, CAST(MIN(lab) AS BIGINT) AS keep_id FROM reach GROUP BY id ORDER BY id""".stripMargin
+      // q15/q16/q17 (minhash/simhash/embedding near-dup candidate lists) are
+      // projection-covered by q27/q41/q42's exact oracles; q22 (langid) is the
+      // one honest rows-only query (profile-scoring kernel, ScalaTest truth
+      // tables in PipelineOpsSpec).
     )
   }
 }
