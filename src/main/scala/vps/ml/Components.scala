@@ -13,16 +13,28 @@ import org.apache.spark.sql.functions._
   * Components in MapReduce and Beyond", SoCC 2014) — the shuffle-bounded
   * formulation that converges in O(log n) rounds on pathological long chains,
   * where naive label propagation needs O(n) rounds (one hop per round).
-  * No driver-side union-find: every round is two reducing aggregations and two
-  * equi-joins over the (bigint, bigint) edge list, so per-round shuffle volume
-  * is O(|edges| x 16 bytes) regardless of component size or skew.
+  * No driver-side union-find: per-round shuffle volume is O(|edges| x 16
+  * bytes) regardless of component size or skew.
   *
-  * Per-round plan (both stars have the same shape):
-  *   1. `groupBy(u).agg(min(v))` — a REDUCING aggregate (map-side partial
-  *      combine), so the root of a 10^8-node component costs one counter per
-  *      map partition, never a collected neighbor list;
-  *   2. edges equi-join the per-node min on `u` — the hot root key is exactly
-  *      the skewed-join case AQE's skew-split handles.
+  * Execution shape (the round-6 fusion): each round is ONE Spark job with
+  * exactly TWO exchanges. Both stars become `repartition(u) +
+  * sortWithinPartitions(u, v) + streaming mapPartitions`:
+  *
+  *   1. hash-partitioning by `u` co-locates every copy of a node's neighbor
+  *      list, so local streaming dedup equals global dedup — the former
+  *      per-round `distinct()` exchange is gone;
+  *   2. the ascending (u, v) sort puts each group's MINIMUM neighbor first,
+  *      so both star emissions run with O(1) state per group — no hash-agg,
+  *      no join build side, no collected neighbor lists. The sort is
+  *      Tungsten-managed (radix on the 16-byte rows, spillable), so a
+  *      mega-component root degrades to a sequential spill, never an OOM;
+  *   3. large-star's output feeds small-star through the second exchange
+  *      inside the same job; the round materializes once (checkpoint).
+  *
+  * The previous relational formulation (2 x groupBy().agg(min) + 2 x
+  * equi-join + distinct) paid ~5 exchanges plus two join hash tables per
+  * round; this pays 2 exchanges and two streaming scans. Measured on the
+  * 19M-edge ComponentsProbe graph: see BENCH/BASELINE.md round-6 section.
   *
   * Lineage is truncated every round so the driver-side plan stays O(1) deep
   * across iterations: with `spark.sparkContext.setCheckpointDir` configured
@@ -30,15 +42,25 @@ import org.apache.spark.sql.functions._
   * cluster posture); otherwise `localCheckpoint()` (block-manager storage,
   * fine for a single JVM).
   *
-  * Convergence: a round is a no-op exactly when the edge set (canonically
-  * oriented big->small, deduped) is unchanged; detected with a set
-  * fingerprint — (count, xor, sum) of a per-edge 64-bit mix — computed by an
-  * accumulator ON THE ROUND'S OWN MATERIALIZATION, so a round is a single
-  * job (no separate fingerprint aggregate, no extra scan). The accumulator
-  * uses per-partition REPLACE semantics, making it idempotent under reliable
-  * checkpoint's recompute job and task retries. Three independent reductions
-  * (count + xor + sum) make an accidental collision — same count AND same
-  * xor AND same sum over a different set — cryptographically unlikely.
+  * Convergence is detected by TWO fingerprints, either of which ends the
+  * loop; both are (count, xor, sum) of a per-edge 64-bit mix folded into a
+  * per-partition REPLACE-semantics accumulator, so no extra job or scan:
+  *
+  *   - OUTPUT multiset fingerprint, computed on the round's checkpoint
+  *     writes: multiset equality across consecutive rounds implies set
+  *     equality implies a fixpoint (the fast path — at the star-forest
+  *     fixpoint the output is exactly the deduplicated set each round);
+  *   - INPUT set fingerprint, computed inside the large-star pass over
+  *     locally-deduplicated neighbors, counting each canonical edge once
+  *     (in its larger endpoint's group): equality across consecutive rounds
+  *     means the previous round changed nothing (the backstop — catches a
+  *     stable set under multiset multiplicity noise).
+  *
+  * At detected convergence the edge frame is provably duplicate-free: a
+  * stable set is a star forest, and the fused round's emissions over a star
+  * forest are unique (children appear in exactly one group; the root only
+  * ever appears as the excluded minimum), so the membership extraction can
+  * rely on "every non-root appears exactly once as `u`".
   */
 object Components {
 
@@ -69,9 +91,9 @@ object Components {
     val reliable = sc.getCheckpointDir.isDefined
 
     // Edge rows are 16 bytes, so AQE's byte-based coalescing funnels the
-    // per-round joins/aggregations into a handful of partitions at the 64 MB
-    // default advisory size (measured 1.4x slower at 19M edges). Scope a
-    // smaller advisory size to this loop and restore the caller's setting.
+    // per-round exchanges into a handful of partitions at the 64 MB default
+    // advisory size, serializing the streaming star passes. Scope a smaller
+    // advisory size to this loop and restore the caller's setting.
     val advisoryKey = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
     val prevAdvisory = spark.conf.getOption(advisoryKey)
     spark.conf.set(advisoryKey, "8m")
@@ -94,11 +116,12 @@ object Components {
     val spark = pairs.sparkSession
     val sc = spark.sparkContext
     import spark.implicits._
-    // Materialize a round AND fingerprint it in the same job: wrap the edge
-    // iterator so each task folds (count, xor, sum) of a per-edge mix into a
-    // per-partition accumulator slot as the checkpoint writes flow past.
-    // REPLACE semantics per partition id keep the value exact when reliable
-    // checkpointing recomputes the RDD in its second job (or a task retries).
+    // Materialize a round AND fingerprint its output multiset in the same
+    // job: wrap the edge iterator so each task folds (count, xor, sum) of a
+    // per-edge mix into a per-partition accumulator slot as the checkpoint
+    // writes flow past. REPLACE semantics per partition id keep the value
+    // exact when reliable checkpointing recomputes the result stage in its
+    // second job (or a task retries).
     def truncate(df: DataFrame): (DataFrame, (Long, Long, Long)) = {
       val acc = new FingerprintAcc
       sc.register(acc, "cc-edge-fingerprint")
@@ -123,9 +146,7 @@ object Components {
         }
       }.toDF("u", "v")
       val out = if (reliable) tagged.checkpoint(true) else tagged.localCheckpoint(true)
-      val parts = acc.value.values
-      (out,
-        (parts.map(_._1).sum, parts.foldLeft(0L)(_ ^ _._2), parts.map(_._3).sum))
+      (out, collapse(acc.value))
     }
     // a superseded round's checkpoint files are dead the moment the next
     // round is materialized — delete them, or O(rounds) full edge-list copies
@@ -143,68 +164,139 @@ object Components {
         p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
       }
     }
-    var (edges, fp) = truncate(canonical(
+    // One fused round: large-star then small-star, two exchanges, one job.
+    // `fpAcc` receives the set fingerprint of the INPUT edge set (computed
+    // over the locally-deduplicated neighbor stream in the large-star pass).
+    def round(cur: DataFrame, fpAcc: FingerprintAcc): DataFrame = {
+      val sym = cur.unionAll(cur.select(col("v").as("u"), col("u").as("v")))
+      val ls = sym.repartition(col("u")).sortWithinPartitions("u", "v")
+        .as[(Long, Long)]
+        .mapPartitions(it => largeStarStream(it, fpAcc))
+        .toDF("u", "v")
+      ls.repartition(col("u")).sortWithinPartitions("u", "v")
+        .as[(Long, Long)]
+        .mapPartitions(smallStarStream)
+        .toDF("u", "v")
+    }
+
+    var (edges, fpOut) = truncate(
       pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
-        .where(col("u").isNotNull && col("v").isNotNull)))
+        .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v")))
 
     var rounds = 0
-    var converged = fp._1 == 0L // empty input: already done
+    var fpInPrev: Option[(Long, Long, Long)] = None
+    var converged = fpOut._1 == 0L // empty input: already done
     while (!converged && rounds < maxRounds) {
+      val fpAcc = new FingerprintAcc
+      sc.register(fpAcc, "cc-input-set-fingerprint")
       val prev = edges
-      val (next, nextFp) = truncate(canonical(smallStar(largeStar(edges))))
-      edges = next
+      val (next, nextFpOut) = truncate(round(prev, fpAcc))
       rounds += 1
-      converged = nextFp == fp
-      fp = nextFp
+      val fpIn = collapse(fpAcc.value)
+      // fast path: output multiset unchanged => set unchanged => fixpoint.
+      // backstop: input set == previous round's input set => the previous
+      // round was a no-op; `next` equals it as a set and is kept.
+      converged = nextFpOut == fpOut || fpInPrev.contains(fpIn)
       release(prev)
+      edges = next
+      fpOut = nextFpOut
+      fpInPrev = Some(fpIn)
     }
     require(converged, s"connectedComponents did not converge in $maxRounds rounds " +
       "(rounds grow ~log2 of the longest chain; raise maxRounds)")
 
-    // Converged state is a star forest: every non-root node appears exactly
-    // once as `u` (edges are canonical-deduped and stability under both stars
-    // implies one parent per node), so only the root side needs deduping —
-    // a |roots|-sized distinct instead of one over 2x|edges| rows.
+    // Converged state is a duplicate-free star forest (see class doc): every
+    // non-root node appears exactly once as `u`, so only the root side needs
+    // deduping — a |roots|-sized distinct instead of one over 2x|edges| rows.
     val members = edges.select(col("u").as("id"), col("v").as("component"))
       .unionAll(edges.select(col("v").as("id"), col("v").as("component")).distinct())
     (members, rounds)
   }
 
-  /** Canonical edge form: big->small, no self-loops, deduped. */
-  private def canonical(edges: DataFrame): DataFrame =
-    edges.where(col("u") =!= col("v"))
-      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-      .distinct()
-
-  /** large-star: for every node u, connect each strictly LARGER neighbor to
-    * m = min(N(u) u {u}). Works on the symmetrized neighbor view.
+  /** large-star over a (u, v)-sorted symmetrized partition: for every node u,
+    * connect each strictly larger distinct neighbor to m = min(N(u) u {u}).
+    * Because groups arrive sorted ascending by v, m is known from the first
+    * row of the group and emission streams with O(1) state; duplicate
+    * neighbors are adjacent and skipped (hash partitioning on u makes the
+    * local dedup global). As a side effect, folds the set fingerprint of the
+    * canonical input edge set into `fpAcc`: each canonical edge (a > b) is
+    * counted exactly once, in group a (its larger endpoint), as neighbor b.
     */
-  private def largeStar(edges: DataFrame): DataFrame = {
-    val sym = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
-    val mins = sym.groupBy("u").agg(min("v").as("mv"))
-      .select(col("u"), least(col("mv"), col("u")).as("m"))
-    sym.join(mins, "u")
-      .where(col("v") > col("u"))
-      .select(col("v").as("u"), col("m").as("v"))
-  }
+  private def largeStarStream(
+      it: Iterator[(Long, Long)],
+      fpAcc: FingerprintAcc): Iterator[(Long, Long)] =
+    new Iterator[(Long, Long)] {
+      private var curU = 0L; private var prevV = 0L; private var m = 0L
+      private var inGroup = false // curU/prevV/m valid
+      private var cnt = 0L; private var xor = 0L; private var sum = 0L
+      private var flushed = false
+      private var out: (Long, Long) = _
+      private var hasOut = false
+      private def advance(): Unit = {
+        while (!hasOut && it.hasNext) {
+          val e = it.next()
+          val u = e._1; val v = e._2
+          val fresh = !inGroup || u != curU
+          if (fresh) { curU = u; m = math.min(v, u); inGroup = true }
+          if (fresh || v != prevV) { // distinct neighbor of curU
+            if (v < u) {
+              val h = Components.edgeHash(u, v)
+              cnt += 1; xor ^= h; sum += h
+            } else if (v > u) {
+              out = (v, m); hasOut = true
+            }
+          }
+          prevV = v
+        }
+        if (!hasOut && !it.hasNext && !flushed) {
+          flushed = true
+          fpAcc.add((org.apache.spark.TaskContext.getPartitionId(), (cnt, xor, sum)))
+        }
+      }
+      override def hasNext: Boolean = { advance(); hasOut }
+      override def next(): (Long, Long) = {
+        advance()
+        if (!hasOut) throw new NoSuchElementException("largeStarStream")
+        hasOut = false; out
+      }
+    }
 
-  /** small-star: for every node u over its SMALLER neighbors N(u), connect
-    * each of N(u) u {u} except the minimum m to m.
-    *
-    * Input contract: already big->small oriented with no self-loops —
-    * exactly what [[largeStar]] emits ((v, m) with v > u >= m). Duplicate
-    * edges are ALLOWED and not deduped here: `min()` is
-    * duplicate-insensitive and the caller's outer [[canonical]] dedups the
-    * output, so the old internal `canonical()` pass was a redundant
-    * full-edge-list shuffle per round (one of ~6 — measured ~8% off the
-    * 19M-edge round time when removed).
+  /** small-star over a (u, v)-sorted big->small partition (every neighbor is
+    * strictly smaller — exactly what the large-star pass emits): for node u
+    * with m = min(N(u)) (the group's first distinct neighbor), emit (u, m)
+    * and (v, m) for every other distinct neighbor v. Streaming, O(1) state.
     */
-  private def smallStar(edges: DataFrame): DataFrame = {
-    val mins = edges.groupBy("u").agg(min("v").as("m"))
-    val neighbors = edges.join(mins, "u")
-      .where(col("v") =!= col("m"))
-      .select(col("v").as("u"), col("m").as("v"))
-    neighbors.unionAll(mins.select(col("u"), col("m").as("v")))
+  private def smallStarStream(it: Iterator[(Long, Long)]): Iterator[(Long, Long)] =
+    new Iterator[(Long, Long)] {
+      private var curU = 0L; private var prevV = 0L; private var m = 0L
+      private var inGroup = false
+      private var out: (Long, Long) = _
+      private var hasOut = false
+      private def advance(): Unit = {
+        while (!hasOut && it.hasNext) {
+          val e = it.next()
+          val u = e._1; val v = e._2
+          if (!inGroup || u != curU) { // group start: v is min(N(u))
+            curU = u; m = v; inGroup = true
+            out = (u, m); hasOut = true
+          } else if (v != prevV && v != m) { // distinct non-min neighbor
+            out = (v, m); hasOut = true
+          }
+          prevV = v
+        }
+      }
+      override def hasNext: Boolean = { advance(); hasOut }
+      override def next(): (Long, Long) = {
+        advance()
+        if (!hasOut) throw new NoSuchElementException("smallStarStream")
+        hasOut = false; out
+      }
+    }
+
+  private def collapse(parts: Map[Int, (Long, Long, Long)]): (Long, Long, Long) = {
+    val vs = parts.values
+    (vs.map(_._1).sum, vs.foldLeft(0L)(_ ^ _._2), vs.map(_._3).sum)
   }
 
   /** splitmix64 finalizer — the per-edge mix feeding the set fingerprint. */
