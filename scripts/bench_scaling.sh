@@ -10,16 +10,18 @@ REP=${SPARK_GRAFT_REPLICATION:-1000}
 export SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-48g}
 mkdir -p BENCH
 OUT=BENCH/scaling_runs.jsonl
-: > "$OUT"
+# append (never truncate): every measured pair stays on the record, and the
+# summary below reads only this invocation's two fresh lines
+START_LINE=$(( $(wc -l < "$OUT" 2>/dev/null || echo 0) + 1 ))
 CPU_PAIR=${SPARK_GRAFT_CPU_PAIR:-"4 16"}
 for CPUS in $CPU_PAIR; do
   echo "=== cpus=$CPUS sf=$SF replication=$REP" >&2
   SPARK_GRAFT_SF_DIR=$SF SPARK_GRAFT_CPUS=$CPUS SPARK_GRAFT_REPLICATION=$REP \
     sbt -batch "runMain graft.Bench" 2>/dev/null | grep -o '{"metric".*}' >> "$OUT"
 done
-python3 - "$OUT" <<'EOF'
+python3 - "$OUT" "$START_LINE" <<'EOF'
 import json, sys
-runs = [json.loads(l) for l in open(sys.argv[1])]
+runs = [json.loads(l) for l in open(sys.argv[1]).readlines()[int(sys.argv[2]) - 1:]]
 by = {r["cpus"]: r for r in runs}
 lo, hi = sorted(by)
 a, b = by[lo]["headline"], by[hi]["headline"]

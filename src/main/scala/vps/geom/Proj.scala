@@ -24,9 +24,12 @@ package vps.geom
   *   Snyder 1987 §21, variants A and B; the standard polar-raster grids)
   * - EPSG:28992 (Amersfoort / RD New — oblique stereographic on the
   *   conformal sphere, EPSG method 9809, Bessel 1841 + Amersfoort Helmert)
-  * - raw proj4 parameter strings (`+proj=tmerc/lcc/aea/somerc/utm/merc/
-  *   stere(polar)/longlat/webmerc` with +ellps/+a/+rf/+datum and optional
-  *   +towgs84 Helmert), parsed onto the same engines — the breadth path for
+  * - EPSG:5513 / 5514 (S-JTSK / Krovak — oblique conformal conic, EPSG
+  *   method 9819, Bessel 1841 + the standard 589/76/480 Helmert; the
+  *   Czech/Slovak national grids)
+  * - raw proj4 parameter strings (`+proj=tmerc/lcc/aea/somerc/sterea/krovak/
+  *   utm/merc/stere(polar)/longlat/webmerc` with +ellps/+a/+rf/+datum,
+  *   optional +pm, and optional +towgs84 Helmert), parsed onto the same engines — the breadth path for
   *   CRSs without a named preset (the reference accepts any proj4 CRS,
   *   `vectortile/package.scala:28-39`)
   *
@@ -689,6 +692,120 @@ object Proj {
   /** EPSG:28992 as a routed CRS (projection + datum shift). */
   val RdNew: Crs = Proj4Crs(RdNewProj, BesselA, BesselInvF, Some(AmersfoortToWgs84))
 
+  /** Krovak oblique conformal conic (EPSG method 9819, Guidance Note 7-2
+    * formulas) — the projection under the Czech/Slovak S-JTSK national
+    * grids (EPSG:5513 positive southing/westing, EPSG:5514 east/north).
+    * Three conformal stages: Gaussian conformal latitude on the sphere at
+    * the projection centre, spherical rotation to the oblique pole (cone
+    * axis at azimuth `alphaCDeg`), then a one-parallel conformal cone at
+    * the pseudo-standard parallel `latPDeg`.
+    *
+    * `lon0Deg` is GREENWICH-referenced: the registry labels the longitude
+    * of origin "24°50' E of Ferro", but the GN7-2 worked example evaluates
+    * V = B(λO − λ) with λ from Greenwich and λO = 24°50' (i.e. the cone
+    * axis at 42°30' E of Ferro) — this engine reproduces that example to
+    * 1 cm (ProjSpec) and therefore matches PROJ's bare `+lon_0=24.8333`
+    * strings directly. `eastNorth=true` negates southing/westing into the
+    * EPSG:5514 axes (Czech coordinates come out negative by design).
+    */
+  final case class Krovak(
+      latCDeg: Double, lon0Deg: Double, alphaCDeg: Double, latPDeg: Double,
+      kP: Double, fe: Double, fn: Double, a: Double, invF: Double,
+      eastNorth: Boolean) extends Crs with PlaneProjection {
+    private val f = 1.0 / invF
+    private val e2 = f * (2.0 - f)
+    private val e = math.sqrt(e2)
+    private val phiC = math.toRadians(latCDeg)
+    private val lam0 = math.toRadians(lon0Deg)
+    private val alphaC = math.toRadians(alphaCDeg)
+    private val phiP = math.toRadians(latPDeg)
+    private val sinC = math.sin(phiC)
+    /** Gaussian sphere radius at the centre: a sqrt(1−e²)/(1−e² sin²φC). */
+    private val bigA = a * math.sqrt(1.0 - e2) / (1.0 - e2 * sinC * sinC)
+    private val bigB = math.sqrt(1.0 + e2 * math.pow(math.cos(phiC), 4) / (1.0 - e2))
+    private[geom] val gamma0 = math.asin(sinC / bigB)
+    private[geom] val t0 = math.tan(math.Pi / 4 + gamma0 / 2) *
+      math.pow((1.0 + e * sinC) / (1.0 - e * sinC), e * bigB / 2) /
+      math.pow(math.tan(math.Pi / 4 + phiC / 2), bigB)
+    private val n = math.sin(phiP)
+    private val r0 = kP * bigA / math.tan(phiP)
+    private val tanPn = math.pow(math.tan(math.Pi / 4 + phiP / 2), n)
+
+    /** Gaussian (conformal-sphere) latitude of geodetic latitude `phi`. */
+    private[geom] def gaussLat(phi: Double): Double = {
+      val sp = math.sin(phi)
+      2.0 * (math.atan(t0 * math.pow(math.tan(phi / 2 + math.Pi / 4), bigB) /
+        math.pow((1.0 + e * sp) / (1.0 - e * sp), e * bigB / 2)) - math.Pi / 4)
+    }
+
+    /** Rotation to the oblique pole: (U, V) gaussian lat/lon -> (T, D).
+      * GN7-2 publishes D = asin(cos U sin V / cos T), which loses the
+      * quadrant once the point passes the oblique pole's meridian plane;
+      * the atan2 form below is identical inside the S-JTSK domain (the
+      * ProjSpec 3D-rotation gate proves it) and correct everywhere. */
+    private[geom] def rotate(u: Double, v: Double): (Double, Double) = {
+      val t = math.asin(math.cos(alphaC) * math.sin(u) +
+        math.sin(alphaC) * math.cos(u) * math.cos(v))
+      val d = math.atan2(math.cos(u) * math.sin(v),
+        math.cos(alphaC) * math.cos(u) * math.cos(v) - math.sin(alphaC) * math.sin(u))
+      (t, d)
+    }
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val u = gaussLat(math.toRadians(latDeg))
+      val v = bigB * (lam0 - math.toRadians(lonDeg))
+      val (t, d) = rotate(u, v)
+      val theta = n * d
+      val r = r0 * tanPn / math.pow(math.tan(t / 2 + math.Pi / 4), n)
+      val xp = r * math.cos(theta) // southing
+      val yp = r * math.sin(theta) // westing
+      if (eastNorth) (-yp + fe, -xp + fn) else (xp + fe, yp + fn)
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val (xp, yp) = if (eastNorth) (fn - y, fe - x) else (x - fe, y - fn)
+      val r = math.hypot(xp, yp)
+      val theta = math.atan2(yp, xp)
+      val d = theta / n
+      val t = 2.0 * (math.atan(math.pow(r0 / r, 1.0 / n) *
+        math.tan(math.Pi / 4 + phiP / 2)) - math.Pi / 4)
+      val u = math.asin(math.cos(alphaC) * math.sin(t) -
+        math.sin(alphaC) * math.cos(t) * math.cos(d))
+      val v = math.atan2(math.cos(t) * math.sin(d),
+        math.cos(alphaC) * math.cos(t) * math.cos(d) + math.sin(alphaC) * math.sin(t))
+      val lam = lam0 - v / bigB
+      // invert the gaussian latitude by fixed-point iteration (GN7-2 recipe)
+      var phi = u
+      var it = 0
+      var diff = 1.0
+      while (it < 15 && math.abs(diff) > 1e-14) {
+        val sp = math.sin(phi)
+        val next = 2.0 * (math.atan(math.pow(t0, -1.0 / bigB) *
+          math.pow(math.tan(u / 2 + math.Pi / 4), 1.0 / bigB) *
+          math.pow((1.0 + e * sp) / (1.0 - e * sp), e / 2)) - math.Pi / 4)
+        diff = next - phi
+        phi = next
+        it += 1
+      }
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
+  /** The S-JTSK Krovak instance (Bessel 1841; EPSG registry parameters). */
+  private[geom] def SJtskKrovak(eastNorth: Boolean): Krovak = Krovak(
+    latCDeg = 49.5, lon0Deg = 24.0 + 50.0 / 60, // cone axis 42°30' E of Ferro
+    alphaCDeg = 30.0 + 17.0 / 60 + 17.3031 / 3600,
+    latPDeg = 78.5, kP = 0.9999, fe = 0.0, fn = 0.0,
+    a = BesselA, invF = BesselInvF, eastNorth = eastNorth)
+  /** S-JTSK -> WGS84 (the standard 3-parameter `+towgs84=589,76,480`). */
+  private[geom] val SJtskToWgs84 = Helmert(589.0, 76.0, 480.0, 0, 0, 0, 0)
+  /** EPSG:5514 — S-JTSK / Krovak East North (Czechia + Slovakia). */
+  val SJtsk5514: Crs =
+    Proj4Crs(SJtskKrovak(eastNorth = true), BesselA, BesselInvF, Some(SJtskToWgs84))
+  /** EPSG:5513 — S-JTSK / Krovak (positive southing X, westing Y). */
+  val SJtsk5513: Crs =
+    Proj4Crs(SJtskKrovak(eastNorth = false), BesselA, BesselInvF, Some(SJtskToWgs84))
+
   // ---- proj4-string front-end --------------------------------------------
 
   /** Named ellipsoids a proj4 string can reference (public proj data). */
@@ -707,8 +824,10 @@ object Proj {
     * `lcc` (1/2SP), `aea` (Albers). Ellipsoid from `+ellps`/`+datum` or
     * explicit `+a` + `+rf`/`+b`; an optional `+towgs84` (3 or 7 parameters,
     * proj4 position-vector convention local->WGS84) layers a Helmert datum
-    * shift. Unsupported: grid-file datums (+nadgrids), +pm, projections
-    * outside the list above.
+    * shift. `+pm` (named or numeric prime meridian) shifts `+lon_0` to its
+    * Greenwich equivalent — the geodetic hub of this engine is always
+    * Greenwich lon/lat. Unsupported: grid-file datums (+nadgrids),
+    * projections outside the list above.
     */
   def parseProj4(s: String): Crs = {
     val kv: Map[String, String] = s.trim.split("\\s+").toSeq
@@ -722,6 +841,14 @@ object Proj {
       }.toMap
     def num(k: String, dflt: Double): Double =
       kv.get(k).map(_.toDouble).getOrElse(dflt)
+    // prime meridian: degrees to ADD to a +pm-referenced longitude to get
+    // its Greenwich value (ferro is 17°40' WEST of Greenwich)
+    val pmShift = kv.get("pm").map {
+      case "greenwich" => 0.0
+      case "ferro" => -(17.0 + 40.0 / 60)
+      case v => v.toDouble
+    }.getOrElse(0.0)
+    def lon0(dflt: Double): Double = num("lon_0", dflt) + pmShift
     val (ea, eInvF) = {
       val named = kv.get("ellps").orElse(kv.get("datum")).map(_.toLowerCase)
         .map(n => Ellipsoids.getOrElse(n match { case "nad83" | "etrs89" => "grs80"; case other => other },
@@ -754,7 +881,7 @@ object Proj {
         LonLat
       case "webmerc" => WebMercator
       case "merc" if kv.get("a").contains("6378137") && kv.get("b").contains("6378137") &&
-          !Seq("lat_ts", "k", "k_0", "x_0", "y_0", "lon_0").exists(kv.contains) =>
+          !Seq("lat_ts", "k", "k_0", "x_0", "y_0", "lon_0", "pm").exists(kv.contains) =>
         // the spherical web-mercator spelling — only when no parameter would
         // be discarded; otherwise fall through to the general merc engine
         // (Merc degrades exactly to the sphere when invF is infinite)
@@ -762,9 +889,9 @@ object Proj {
       case "merc" =>
         // general (ellipsoidal) Mercator: +lat_ts (variant B) wins over +k
         val m = kv.get("lat_ts").map(_.toDouble) match {
-          case Some(ts) => Merc.withStandardParallel(ts, num("lon_0", 0),
+          case Some(ts) => Merc.withStandardParallel(ts, lon0(0),
             num("x_0", 0), num("y_0", 0), ea, eInvF)
-          case None => Merc(num("lon_0", 0), k0, num("x_0", 0), num("y_0", 0), ea, eInvF)
+          case None => Merc(lon0(0), k0, num("x_0", 0), num("y_0", 0), ea, eInvF)
         }
         if (toWgs.isEmpty) m else Proj4Crs(m, ea, eInvF, toWgs)
       case "stere" =>
@@ -775,9 +902,9 @@ object Proj {
         val p = kv.get("lat_ts").map(_.toDouble) match {
           case Some(ts) =>
             require((ts >= 0) == north, s"+lat_ts=$ts contradicts +lat_0=$lat0")
-            PolarStereo.withStandardParallel(ts, num("lon_0", 0),
+            PolarStereo.withStandardParallel(ts, lon0(0),
               num("x_0", 0), num("y_0", 0), ea, eInvF)
-          case None => PolarStereo(north, num("lon_0", 0), k0,
+          case None => PolarStereo(north, lon0(0), k0,
             num("x_0", 0), num("y_0", 0), ea, eInvF)
         }
         if (toWgs.isEmpty) p else Proj4Crs(p, ea, eInvF, toWgs)
@@ -795,29 +922,42 @@ object Proj {
           fe = 500000.0, fn = if (south) 10000000.0 else 0.0), ea, eInvF, toWgs)
       case "tmerc" =>
         Proj4Crs(KruegerTm(ea, eInvF, k0,
-          lat0 = num("lat_0", 0), lon0 = num("lon_0", 0),
+          lat0 = num("lat_0", 0), lon0 = lon0(0),
           fe = num("x_0", 0), fn = num("y_0", 0)), ea, eInvF, toWgs)
       case "lcc" =>
         val lat1 = num("lat_1", num("lat_0", 0))
         Proj4Crs(Lcc(lat0 = num("lat_0", lat1), lat1 = lat1, lat2 = num("lat_2", lat1),
-          lon0 = num("lon_0", 0), fe = num("x_0", 0), fn = num("y_0", 0),
+          lon0 = lon0(0), fe = num("x_0", 0), fn = num("y_0", 0),
           a = ea, invF = eInvF, k0 = k0), ea, eInvF, toWgs)
       case "somerc" =>
-        Proj4Crs(Somerc(lat0Deg = num("lat_0", 0), lon0Deg = num("lon_0", 0), k0 = k0,
+        Proj4Crs(Somerc(lat0Deg = num("lat_0", 0), lon0Deg = lon0(0), k0 = k0,
           fe = num("x_0", 0), fn = num("y_0", 0), a = ea, invF = eInvF), ea, eInvF, toWgs)
       case "sterea" => // oblique stereographic, conformal-sphere (EPSG 9809)
-        Proj4Crs(ObliqueStereo(lat0Deg = num("lat_0", 0), lon0Deg = num("lon_0", 0),
+        Proj4Crs(ObliqueStereo(lat0Deg = num("lat_0", 0), lon0Deg = lon0(0),
           k0 = k0, fe = num("x_0", 0), fn = num("y_0", 0), a = ea, invF = eInvF),
           ea, eInvF, toWgs)
+      case "krovak" =>
+        // PROJ semantics: bare +lon_0 is already the Greenwich-effective
+        // longitude of origin (default 24°50' = 42°30' E of Ferro); the
+        // historical `+pm=ferro +lon_0=42.5` spelling shifts to the same
+        // value through pmShift. +czech flips to positive southing/westing
+        // (EPSG:5513 axes); the default matches PROJ's east/north output.
+        val k = Krovak(
+          latCDeg = num("lat_0", 49.5), lon0Deg = lon0(24.0 + 50.0 / 60),
+          alphaCDeg = num("alpha", 30.0 + 17.0 / 60 + 17.3031 / 3600),
+          latPDeg = num("lat_1", 78.5), kP = k0,
+          fe = num("x_0", 0), fn = num("y_0", 0), a = ea, invF = eInvF,
+          eastNorth = !kv.contains("czech"))
+        if (toWgs.isEmpty) k else Proj4Crs(k, ea, eInvF, toWgs)
       case "aea" =>
         require(k0 == 1.0, "+proj=aea does not take a scale factor (+k/+k_0)")
         val lat1 = num("lat_1", num("lat_0", 0))
         Proj4Crs(Aea(lat0 = num("lat_0", lat1), lat1 = lat1, lat2 = num("lat_2", lat1),
-          lon0 = num("lon_0", 0), fe = num("x_0", 0), fn = num("y_0", 0),
+          lon0 = lon0(0), fe = num("x_0", 0), fn = num("y_0", 0),
           a = ea, invF = eInvF), ea, eInvF, toWgs)
       case other => throw new IllegalArgumentException(
         s"unsupported +proj=$other (supported: longlat, webmerc, merc, " +
-          "utm, tmerc, lcc, aea, somerc, sterea, stere-polar)")
+          "utm, tmerc, lcc, aea, somerc, sterea, krovak, stere-polar)")
     }
   }
 
@@ -843,6 +983,8 @@ object Proj {
       case "epsg:27700" | "27700" => BritishNationalGrid
       case "epsg:2056" | "2056" => SwissLv95
       case "epsg:28992" | "28992" => RdNew
+      case "epsg:5514" | "5514" => SJtsk5514
+      case "epsg:5513" | "5513" => SJtsk5513
       case UtmRe(series, zone) =>
         val z = zone.toInt
         require(z >= 1 && z <= 60, s"UTM zone $z out of [1,60]")
@@ -851,7 +993,7 @@ object Proj {
         s"unsupported CRS '$other' (supported: EPSG:4326, EPSG:3857, " +
           "EPSG:326xx/327xx, EPSG:2154/3034/3978, EPSG:5070, EPSG:3395, " +
           "EPSG:3413, EPSG:3031, EPSG:27700, EPSG:2056, EPSG:28992, " +
-          "or a raw +proj=... string)")
+          "EPSG:5513/5514, or a raw +proj=... string)")
     }
   }
 
@@ -866,6 +1008,7 @@ object Proj {
       case m: Merc => m.inverse(x, y)
       case p: PolarStereo => p.inverse(x, y)
       case o: ObliqueStereo => o.inverse(x, y)
+      case k: Krovak => k.inverse(x, y)
       case Proj4Crs(proj, pa, pInvF, shift) =>
         val (lonD, latD) = proj.inverse(x, y)
         shift match {
@@ -895,6 +1038,7 @@ object Proj {
       case m: Merc => m.forward(lon, lat)
       case p: PolarStereo => p.forward(lon, lat)
       case o: ObliqueStereo => o.forward(lon, lat)
+      case k: Krovak => k.forward(lon, lat)
       case Proj4Crs(proj, pa, pInvF, shift) =>
         shift match {
           case None => proj.forward(lon, lat)

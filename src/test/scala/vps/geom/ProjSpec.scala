@@ -242,7 +242,7 @@ class ProjSpec extends AnyFunSuite {
     assert(Proj.parse("+proj=utm +zone=33 +ellps=WGS84") === Proj.Utm(33, south = false))
     assert(Proj.parse("+proj=utm +zone=19 +south") === Proj.Utm(19, south = true))
     assert(Proj.parse("+proj=longlat +datum=WGS84 +no_defs") === Proj.LonLat)
-    intercept[IllegalArgumentException](Proj.parse("+proj=krovak +ellps=bessel"))
+    intercept[IllegalArgumentException](Proj.parse("+proj=omerc +ellps=bessel"))
     intercept[IllegalArgumentException](Proj.parse("+proj=utm")) // missing zone
 
     // non-WGS84 UTM (ED50-style) must NOT silently use the WGS84 engine:
@@ -303,7 +303,7 @@ class ProjSpec extends AnyFunSuite {
     assert(Proj.parse("EPSG:2154") === Proj.Lambert93)
     assert(Proj.parse("3034") === Proj.LccEurope)
     assert(Proj.parse("epsg:3978") === Proj.LccCanada)
-    intercept[IllegalArgumentException](Proj.parse("EPSG:5514")) // Krovak: still unsupported
+    intercept[IllegalArgumentException](Proj.parse("EPSG:2065")) // Ferro-axis S-JTSK variant: unsupported
     val (mx, my) = Proj.transform(15.5, 47.1, Proj.LonLat, Proj.WebMercator)
     val (ue, un) = Proj.transform(mx, my, Proj.WebMercator, Proj.Utm(33, south = false))
     val (lon, lat) = Proj.transform(ue, un, Proj.Utm(33, south = false), Proj.LonLat)
@@ -488,6 +488,89 @@ class ProjSpec extends AnyFunSuite {
     val (pe, pn) = Proj.transform(5.9, 52.5, Proj.LonLat, viaProj4)
     val (re, rn) = Proj.transform(5.9, 52.5, Proj.LonLat, rd)
     assert(math.abs(pe - re) < 1e-3 && math.abs(pn - rn) < 1e-3)
+  }
+
+  test("Krovak (EPSG:5513/5514, method 9819): EPSG worked example, independent rotation gate, conformality, round trips") {
+    val k13 = Proj.SJtskKrovak(eastNorth = false)
+    // EPSG GN7-2 Krovak worked example: 50°12'32.4416"N, 16°50'59.1790"E
+    // (Greenwich) -> X (southing) 1050538.63, Y (westing) 568991.00. The
+    // engine's intermediates reproduce the note's published U/V/T chain
+    // (U 0.875596949, V 0.139422687, T 1.386275049).
+    val lat = 50.0 + 12.0 / 60 + 32.4416 / 3600
+    val lon = 16.0 + 50.0 / 60 + 59.1790 / 3600
+    val (x13, y13) = k13.forward(lon, lat)
+    assert(math.abs(x13 - 1050538.63) < 0.05, s"X=$x13")
+    assert(math.abs(y13 - 568991.00) < 0.05, s"Y=$y13")
+    // EPSG:5514 (East North) negates southing/westing
+    val k14 = Proj.SJtskKrovak(eastNorth = true)
+    val (e14, n14) = k14.forward(lon, lat)
+    assert(e14 == -y13 && n14 == -x13)
+    // INDEPENDENT gate on the oblique-rotation stage: the closed spherical
+    // trig must equal a plain 3D rotation of the unit vector about the
+    // y-axis by alphaC (computed here from first principles, no shared code)
+    val alphaC = math.toRadians(30.0 + 17.0 / 60 + 17.3031 / 3600)
+    for (uDeg <- Seq(40.0, 49.5, 60.0); vDeg <- Seq(-8.0, 0.0, 7.0)) {
+      val u = math.toRadians(uDeg); val v = math.toRadians(vDeg)
+      val p = (math.cos(u) * math.cos(v), math.cos(u) * math.sin(v), math.sin(u))
+      val rot = (math.cos(alphaC) * p._1 - math.sin(alphaC) * p._3, p._2,
+        math.sin(alphaC) * p._1 + math.cos(alphaC) * p._3)
+      val (t, d) = k13.rotate(u, v)
+      assert(math.abs(math.sin(t) - rot._3) < 1e-14, s"T at $uDeg,$vDeg")
+      assert(math.abs(d - math.atan2(rot._2, rot._1)) < 1e-12, s"D at $uDeg,$vDeg")
+    }
+    // t0's defining property: the gaussian latitude of the projection
+    // centre is exactly gamma0
+    assert(math.abs(k13.gaussLat(math.toRadians(49.5)) - k13.gamma0) < 1e-14)
+    // conformality: isotropic finite-difference scale over the Czech/Slovak
+    // domain, inside the S-JTSK design band (0.9999 on the pseudo-standard
+    // parallel to ~1.0001 at the edges)
+    for ((lo, la) <- Seq((12.1, 50.2), (14.42, 50.09), (17.0, 49.2), (21.0, 48.7))) {
+      val (x1, y1) = k13.forward(lo, la)
+      val (x2, y2) = k13.forward(lo + 1e-6, la)
+      val (x3, y3) = k13.forward(lo, la + 1e-6)
+      val kPar = math.hypot(x2 - x1, y2 - y1) /
+        parallelArc(la, 1e-6, 6377397.155, 299.1528128)
+      val kMer = math.hypot(x3 - x1, y3 - y1) /
+        meridianArc(la, 1e-6, 6377397.155, 299.1528128)
+      assert(math.abs(kPar - kMer) < 1e-6, s"isotropy at $lo,$la: $kPar vs $kMer")
+      assert(kPar > 0.99985 && kPar < 1.0002, s"scale $kPar at $lo,$la")
+    }
+    // projection-level round trips across (and a bit beyond) the domain
+    for (lo <- Seq(12.2, 15.5, 18.9, 22.4); la <- Seq(47.8, 49.4, 51.0)) {
+      val (x, y) = k13.forward(lo, la)
+      val (lo2, la2) = k13.inverse(x, y)
+      assert(math.abs(lo2 - lo) < 1e-9 && math.abs(la2 - la) < 1e-9, s"$lo,$la")
+      val (xe, ye) = k14.forward(lo, la)
+      val (lo3, la3) = k14.inverse(xe, ye)
+      assert(math.abs(lo3 - lo) < 1e-9 && math.abs(la3 - la) < 1e-9, s"EN $lo,$la")
+    }
+    // routed CRS: WGS84 -> 5514 (Czech east/north come out negative) and back
+    val czk = Proj.parse("EPSG:5514")
+    val (we, wn) = Proj.transform(14.42, 50.09, Proj.LonLat, czk) // Prague
+    assert(we < -400000 && we > -1000000 && wn < -900000 && wn > -1400000,
+      s"implausible 5514 coords $we,$wn")
+    val (lonB, latB) = Proj.transform(we, wn, czk, Proj.LonLat)
+    assert(math.abs(lonB - 14.42) < 1e-7 && math.abs(latB - 50.09) < 1e-7)
+    // 5513 is the negated-axes sibling on the same datum path
+    val (sx, sy) = Proj.transform(14.42, 50.09, Proj.LonLat, Proj.parse("5513"))
+    assert(math.abs(sx + wn) < 1e-9 && math.abs(sy + we) < 1e-9)
+    // the bare-PROJ spelling and the historical +pm=ferro spelling both
+    // bind to the same instance (alpha spelled at the EPSG-exact
+    // 30°17'17.3031"; PROJ's init files truncate it to ...972222, a 3 mm
+    // difference that is PROJ's rounding, not a semantic divergence)
+    val viaProj4 = Proj.parse("+proj=krovak +lat_0=49.5 +lon_0=24.83333333333333 " +
+      "+alpha=30.28813975 +k=0.9999 +x_0=0 +y_0=0 +ellps=bessel +towgs84=589,76,480")
+    val viaFerro = Proj.parse("+proj=krovak +lat_0=49.5 +lon_0=42.5 +pm=ferro " +
+      "+alpha=30.28813975 +k=0.9999 +x_0=0 +y_0=0 +ellps=bessel +towgs84=589,76,480")
+    for (crs <- Seq(viaProj4, viaFerro)) {
+      val (pe, pn) = Proj.transform(14.42, 50.09, Proj.LonLat, crs)
+      assert(math.abs(pe - we) < 1e-3 && math.abs(pn - wn) < 1e-3, s"$crs")
+    }
+    // PROJ's own truncated +alpha spelling still lands within 5 mm
+    val viaProjTrunc = Proj.parse("+proj=krovak +lat_0=49.5 +lon_0=24.83333333333333 " +
+      "+alpha=30.28813972222222 +k=0.9999 +x_0=0 +y_0=0 +ellps=bessel +towgs84=589,76,480")
+    val (te, tn) = Proj.transform(14.42, 50.09, Proj.LonLat, viaProjTrunc)
+    assert(math.abs(te - we) < 5e-3 && math.abs(tn - wn) < 5e-3)
   }
 
   test("Albers inverse is pole-safe (guarded 3-16 iteration)") {
