@@ -659,6 +659,29 @@ object SparkEntry {
           floor(char_ngram_repetition(col("text"), 5) * 100000).cast("long").as("rep5_e5"),
           floor(char_ngram_repetition(col("text"), 10) * 100000).cast("long").as("rep10_e5"))
         .orderBy("doc_id")
+    }),
+
+    // ---- video-frame sampling (the multi-frame media path): REAL animated
+    // GIFs (the JDK's only multi-frame container; 2..8 constant-color frames,
+    // every per-frame fact a closed form of (id, frame_idx)) -> JDK reader
+    // seeks + decodes every 2nd frame ONLY -> one row per sampled frame with
+    // measured dims/means; ids % 17 == 0 carry corrupt bytes through the
+    // error channel (decode_ok = false, null facts, row kept) ----
+    "q47_gif_frames" -> ((s, dir) => {
+      val docs = InterleavedDocs.fromDocuments(s, dir)
+      val media = docs.select(col("doc_id"), col("id"))
+        .withColumn("blob", vps.media.MediaPipeline.synthesizeGifBlob(col("id")))
+      vps.media.MediaPipeline.sampleGifFrames(media, "blob", stride = 2)
+        .select(col("doc_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("mean_r").cast("long").as("mean_r"),
+          col("mean_g").cast("long").as("mean_g"),
+          col("mean_b").cast("long").as("mean_b"),
+          col("decode_ok"))
+        .orderBy("doc_id", "frame_idx")
     })
   )
 
@@ -1033,6 +1056,24 @@ object SparkEntry {
            |  ${rep(5)} AS rep5_e5,
            |  ${rep(10)} AS rep10_e5
            |FROM documents ORDER BY doc_id""".stripMargin
+      },
+      "q47_gif_frames" -> {
+        import vps.media.MediaPipeline._
+        s"""WITH ok AS (
+           |  SELECT doc_id, $gifFramesSql AS n_frames
+           |  FROM documents WHERE NOT ($corruptSql)),
+           |frames AS (
+           |  SELECT doc_id, n_frames, unnest(range(0, n_frames, 2)) AS frame_idx FROM ok)
+           |SELECT 'doc' || CAST(doc_id AS VARCHAR) AS doc_id,
+           |  frame_idx, n_frames,
+           |  $widthSql AS width, $heightSql AS height,
+           |  $frameRedSql AS mean_r, $frameGreenSql AS mean_g, $frameBlueSql AS mean_b,
+           |  TRUE AS decode_ok
+           |FROM frames
+           |UNION ALL
+           |SELECT 'doc' || CAST(doc_id AS VARCHAR), NULL, NULL, NULL, NULL, NULL, NULL, NULL, FALSE
+           |FROM documents WHERE $corruptSql
+           |ORDER BY 1, 2""".stripMargin
       },
       "q41_simhash_exact" ->
         """WITH corpus AS (

@@ -62,8 +62,12 @@ object InterleavedDocs {
     // parallelism partitions and must not pay a full-corpus shuffle here.
     val scan = spark.read.parquet(s"$sfDir/documents.parquet")
     val parallelism = spark.sparkContext.defaultParallelism
+    // split-count probe WITHOUT materializing an RDD lineage on the driver
+    // (scan yields ~ceil(bytes / maxPartitionBytes) input splits)
+    val maxSplitBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    val scanBytes = scan.queryExecution.optimizedPlan.stats.sizeInBytes
     val base =
-      if (scan.rdd.getNumPartitions < parallelism) scan.repartition(parallelism) else scan
+      if (scanBytes < BigInt(maxSplitBytes) * parallelism) scan.repartition(parallelism) else scan
     val replicated =
       if (replication == 1) base.withColumn("id", col("doc_id").cast("long"))
       else base

@@ -124,6 +124,144 @@ object MediaPipeline {
   /** Legacy opaque-blob synthesizer (hash bytes; pairs with [[StubCodec]]). */
   def synthesizeBlob(ref: Column): Column = sha2(ref, 256).cast("binary")
 
+  // ---- animated-GIF synthesis + frame sampling (the video stand-in: the JDK
+  // ships no video-container codec, so multi-frame GIF is the real multi-frame
+  // decode path; every per-frame fact is a closed form of (id, frame_idx) so
+  // the DuckDB oracle can recompute what the sampler must measure) ----
+
+  /** Frame count of the synthetic animated GIF for `id`: 2..8. */
+  def gifFramesFor(id: Long): Int = 2 + math.floorMod(id * 29, 7).toInt
+  def frameRedFor(id: Long, f: Int): Int = math.floorMod(id * 101 + f * 31L, 256).toInt
+  def frameGreenFor(id: Long, f: Int): Int = math.floorMod(id * 151 + f * 57L, 256).toInt
+  def frameBlueFor(id: Long, f: Int): Int = math.floorMod(id * 197 + f * 83L, 256).toInt
+
+  /** SQL mirrors over (`doc_id`, `frame_idx`) for the DuckDB oracle. */
+  val gifFramesSql = "2 + (doc_id * 29) % 7"
+  val frameRedSql = "(doc_id * 101 + frame_idx * 31) % 256"
+  val frameGreenSql = "(doc_id * 151 + frame_idx * 57) % 256"
+  val frameBlueSql = "(doc_id * 197 + frame_idx * 83) % 256"
+
+  /** Constant-color frame backed by an explicit 2-entry `IndexColorModel`
+    * (palette index 0 = the color; raster starts zero-filled): GIF is
+    * palette-based, so handing the writer an already-indexed image guarantees
+    * a lossless round-trip — no quantization/dither is ever involved.
+    */
+  private def indexedFrame(w: Int, h: Int, r: Int, g: Int, b: Int): java.awt.image.BufferedImage = {
+    val cm = new java.awt.image.IndexColorModel(8, 2,
+      Array(r.toByte, 0.toByte), Array(g.toByte, 0.toByte), Array(b.toByte, 0.toByte))
+    new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+  }
+
+  /** Encode frames as one animated GIF via the JDK writer's sequence API. */
+  def encodeGif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(f =>
+        writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
+  /** Real animated-GIF bytes for `id` ([[gifFramesFor]] constant-color frames
+    * of [[widthFor]]x[[heightFor]]), or deliberately corrupt bytes when
+    * `id % CorruptEvery == 0` (error channel).
+    */
+  def gifBlobFor(id: Long): Array[Byte] =
+    if (math.floorMod(id, CorruptEvery) == 0L) s"NOTAGIF:$id".getBytes("UTF-8")
+    else {
+      val w = widthFor(id); val h = heightFor(id)
+      encodeGif((0 until gifFramesFor(id)).map(f =>
+        indexedFrame(w, h, frameRedFor(id, f), frameGreenFor(id, f), frameBlueFor(id, f))))
+    }
+
+  /** Column form of [[gifBlobFor]]. */
+  def synthesizeGifBlob(id: Column): Column = {
+    val f = udf((i: Long) => gifBlobFor(i))
+    f(id.cast("long"))
+  }
+
+  /** Per-frame facts appended by [[sampleGifFrames]] (one output row per
+    * sampled frame).
+    */
+  val frameSchema: StructType = StructType(Seq(
+    StructField("frame_idx", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("mean_r", DoubleType),
+    StructField("mean_g", DoubleType),
+    StructField("mean_b", DoubleType),
+    StructField("decode_ok", BooleanType)))
+
+  /** REAL multi-frame sampling (the video frame-extraction step): decode the
+    * animated GIF in `blobCol` with the JDK reader, read every `stride`-th
+    * frame (index 0, stride, 2*stride, ...), and emit ONE ROW PER SAMPLED
+    * FRAME with measured dims + per-channel pixel means. Only the sampled
+    * frames are ever decoded — `reader.read(i)` seeks within the stream, so a
+    * stride of 30 on a long animation pays for ceil(n/30) rasters, not n.
+    * Null blob -> one all-null row (`decode_ok` null); undecodable bytes ->
+    * one row on the error channel (`decode_ok = false`, null facts). The
+    * reader is created once per partition (it is not thread-safe, and tasks
+    * own partitions).
+    */
+  def sampleGifFrames(df: DataFrame, blobCol: String, stride: Int,
+      batchSize: Int = 256): DataFrame = {
+    require(stride > 0, s"sampleGifFrames: bad stride $stride")
+    val outSchema = StructType(df.schema.fields ++ frameSchema.fields)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    df.mapPartitions { rows =>
+      ImageIoCodec.ensureInMemoryDecode
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      val nullRow = Seq(null, null, null, null, null, null, null)
+      rows.flatMap { row =>
+        val bytes = row.getAs[Array[Byte]](blobIdx)
+        val frames: Seq[Seq[Any]] =
+          if (bytes == null) Seq(nullRow :+ null)
+          else if (!(bytes.length >= 3 && bytes(0) == 'G'.toByte &&
+              bytes(1) == 'I'.toByte && bytes(2) == 'F'.toByte))
+            Seq(nullRow :+ java.lang.Boolean.FALSE)
+          else
+            try {
+              val iis = javax.imageio.ImageIO.createImageInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              try {
+                reader.setInput(iis, false, true)
+                val n = reader.getNumImages(true)
+                (0 until n by stride).map { i =>
+                  val img = reader.read(i)
+                  val w = img.getWidth; val h = img.getHeight
+                  var sr = 0L; var sg = 0L; var sb = 0L
+                  val rowBuf = new Array[Int](w)
+                  var y = 0
+                  while (y < h) {
+                    img.getRGB(0, y, w, 1, rowBuf, 0, w)
+                    var x = 0
+                    while (x < w) {
+                      val rgb = rowBuf(x)
+                      sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  val px = w.toLong * h
+                  Seq(i, n, w, h, sr.toDouble / px, sg.toDouble / px, sb.toDouble / px,
+                    java.lang.Boolean.TRUE)
+                }
+              } finally iis.close()
+            } catch {
+              case scala.util.control.NonFatal(_) => Seq(nullRow :+ java.lang.Boolean.FALSE)
+            }
+        frames.iterator.map(f => Row.fromSeq(row.toSeq ++ f))
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Append decoded fields. Batched: one codec call per `batchSize` rows — the
     * mapInPandas batch-shape contract. Null blob -> all-null fields (no decode
     * attempted, `decode_ok` null); undecodable blob -> null facts +
@@ -234,7 +372,7 @@ final class ImageIoCodec extends MediaPipeline.MediaCodec {
   // deserialization (bounded at 4 formats); disabling the ImageIO disk cache
   // is process-wide state, so it is set ONCE per JVM, not per image
   @transient private lazy val readers = {
-    ImageIoCodec.disableDiskCache
+    ImageIoCodec.ensureInMemoryDecode
     new java.util.HashMap[String, javax.imageio.ImageReader]()
   }
 
@@ -296,5 +434,5 @@ object ImageIoCodec {
     * small thumbnails this pipeline decodes. `lazy val` gives thread-safe
     * exactly-once initialization across all tasks in an executor.
     */
-  private lazy val disableDiskCache: Unit = javax.imageio.ImageIO.setUseCache(false)
+  private[media] lazy val ensureInMemoryDecode: Unit = javax.imageio.ImageIO.setUseCache(false)
 }

@@ -191,4 +191,74 @@ class MediaSpec extends AnyFunSuite {
     assert(row.getDouble(2) === sum.toDouble / n)
     assert(sum === 0L, "triangle wave sums to exactly zero")
   }
+
+  test("animated GIF round-trips losslessly: independent full decode matches the closed forms") {
+    // independent oracle: decode every frame with a fresh JDK reader (no
+    // sampleGifFrames involved) and compare against the generator formulas
+    for (id <- Seq(1L, 2L, 3L, 9L, 123L, 4321L)) {
+      val bytes = MediaPipeline.gifBlobFor(id)
+      assert(new String(bytes.take(3), "US-ASCII") === "GIF")
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        reader.setInput(iis, false, true)
+        val n = reader.getNumImages(true)
+        assert(n === MediaPipeline.gifFramesFor(id), s"frame count for id $id")
+        for (f <- 0 until n) {
+          val img = reader.read(f)
+          assert(img.getWidth === MediaPipeline.widthFor(id))
+          assert(img.getHeight === MediaPipeline.heightFor(id))
+          val rgb = img.getRGB(img.getWidth / 2, img.getHeight / 2)
+          assert(((rgb >> 16) & 0xff) === MediaPipeline.frameRedFor(id, f), s"red id=$id f=$f")
+          assert(((rgb >> 8) & 0xff) === MediaPipeline.frameGreenFor(id, f), s"green id=$id f=$f")
+          assert((rgb & 0xff) === MediaPipeline.frameBlueFor(id, f), s"blue id=$id f=$f")
+        }
+      } finally { iis.close(); reader.dispose() }
+    }
+  }
+
+  test("sampleGifFrames: every stride-th frame measured exactly; corrupt and null error channels") {
+    val ids = (0L until 60L).toSeq
+    val df = ids.toDF("id")
+      .withColumn("blob",
+        when($"id" === 5L, lit(null).cast("binary")) // planted null next to % 17 corrupt
+          .otherwise(MediaPipeline.synthesizeGifBlob($"id")))
+    val out = MediaPipeline.sampleGifFrames(df, "blob", stride = 2).cache()
+
+    // row count: ceil(nFrames / 2) per good id, one error row per corrupt/null id
+    val expectedRows = ids.map { id =>
+      if (id == 5L || id % MediaPipeline.CorruptEvery == 0) 1L
+      else (MediaPipeline.gifFramesFor(id) + 1) / 2
+    }.sum
+    assert(out.count() === expectedRows)
+
+    // null blob -> decode_ok null; corrupt bytes -> decode_ok false, null facts
+    val nullRow = out.where($"id" === 5L).select($"decode_ok", $"frame_idx").head()
+    assert(nullRow.isNullAt(0) && nullRow.isNullAt(1))
+    val corrupt = out.where($"id" % MediaPipeline.CorruptEvery === 0 && $"id" =!= 5L)
+      .select($"decode_ok", $"n_frames").collect()
+    assert(corrupt.nonEmpty && corrupt.forall(r => !r.getBoolean(0) && r.isNullAt(1)))
+
+    // good rows: frame indices are exactly 0, 2, 4, ... and means are the
+    // generator constants (constant-color frames -> integer-exact means)
+    val good = out.where($"decode_ok" === true)
+      .select($"id", $"frame_idx", $"n_frames", $"width", $"height",
+        $"mean_r", $"mean_g", $"mean_b")
+      .collect()
+    for (r <- good) {
+      val id = r.getLong(0); val f = r.getInt(1)
+      assert(f % 2 === 0 && f < r.getInt(2))
+      assert(r.getInt(2) === MediaPipeline.gifFramesFor(id))
+      assert(r.getInt(3) === MediaPipeline.widthFor(id))
+      assert(r.getInt(4) === MediaPipeline.heightFor(id))
+      assert(r.getDouble(5) === MediaPipeline.frameRedFor(id, f).toDouble)
+      assert(r.getDouble(6) === MediaPipeline.frameGreenFor(id, f).toDouble)
+      assert(r.getDouble(7) === MediaPipeline.frameBlueFor(id, f).toDouble)
+    }
+    val sampledPerId = good.groupBy(_.getLong(0)).view.mapValues(_.map(_.getInt(1)).sorted)
+    for ((id, fs) <- sampledPerId)
+      assert(fs.toSeq === (0 until MediaPipeline.gifFramesFor(id) by 2).toSeq, s"frames for id $id")
+    out.unpersist()
+  }
 }
