@@ -41,6 +41,29 @@ object Wkb {
   private val writer = ThreadLocal.withInitial[WKBWriter](() => new WKBWriter(2))
   def read(b: Array[Byte]): Geometry = reader.get().read(b)
   def write(g: Geometry): Array[Byte] = writer.get().write(g)
+
+  /** Read a geometry for a TRANSIENT predicate probe: plain 2-D point WKB (21
+    * bytes, either byte order) mutates and returns `reuse` — zero allocations
+    * on the point-probe hot path (a candidate-pair refine evaluates this per
+    * pair; the allocation stream, not the arithmetic, is what stops scaling
+    * on shared-memory hosts). Anything else takes the full parse. The caller
+    * must not retain the returned geometry beyond the predicate call (JTS
+    * predicates read the coordinates and keep nothing).
+    */
+  def readProbe(b: Array[Byte], reuse: Point): Geometry = {
+    if (b.length == 21) {
+      val bb = java.nio.ByteBuffer.wrap(b)
+      if (b(0) == 1) bb.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      if (bb.getInt(1) == 1) {
+        val c = reuse.getCoordinate
+        c.x = bb.getDouble(5)
+        c.y = bb.getDouble(13)
+        reuse.geometryChanged() // drop the cached envelope
+        return reuse
+      }
+    }
+    read(b)
+  }
 }
 
 object Wkt {

@@ -74,7 +74,9 @@ case class GridBurn(
     if (bv != null && wv != null) {
       val tx = x.eval(input).asInstanceOf[Int]
       val ty = y.eval(input).asInstanceOf[Int]
-      Raster.burn(Wkb.read(bv.asInstanceOf[Array[Byte]]), wv.asInstanceOf[Double],
+      // burnWkb decodes plain point WKB off the buffer (no JTS object per
+      // row) — the rasterize hot path is a point corpus
+      Raster.burnWkb(bv.asInstanceOf[Array[Byte]], wv.asInstanceOf[Double],
         env(tx, ty), resolution, buf)
     }
     buf
@@ -86,14 +88,35 @@ case class GridBurn(
     buf
   }
 
-  override def eval(buf: Array[Double]): Any = {
+  override def eval(buf: Array[Double]): Any = GridCodec.toFloats(buf)
+
+  override def serialize(buf: Array[Double]): Array[Byte] = GridCodec.serialize(buf)
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] =
+    GridCodec.deserialize(bytes, resolution * resolution)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): GridBurn =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): GridBurn =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(wkb = newChildren(0), weight = newChildren(1), x = newChildren(2), y = newChildren(3))
+}
+
+/** Grid buffer wire format + output conversion shared by [[GridBurn]] and
+  * [[GridCellSum]]: sparse (index, value) pairs below 1/8 occupancy, dense
+  * doubles otherwise; float rounding happens once at eval.
+  */
+private[raster] object GridCodec {
+  def toFloats(buf: Array[Double]): GenericArrayData = {
     val out = new Array[Float](buf.length)
     var i = 0
     while (i < buf.length) { out(i) = buf(i).toFloat; i += 1 }
     new GenericArrayData(out)
   }
 
-  override def serialize(buf: Array[Double]): Array[Byte] = {
+  def serialize(buf: Array[Double]): Array[Byte] = {
     var nnz = 0
     var i = 0
     while (i < buf.length) { if (buf(i) != 0d) nnz += 1; i += 1 }
@@ -116,9 +139,9 @@ case class GridBurn(
     }
   }
 
-  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+  def deserialize(bytes: Array[Byte], size: Int): Array[Double] = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
-    val out = new Array[Double](resolution * resolution)
+    val out = new Array[Double](size)
     if (bb.get() == 1) {
       val nnz = bb.getInt()
       var k = 0
@@ -129,12 +152,83 @@ case class GridBurn(
     }
     out
   }
+}
 
-  override def withNewMutableAggBufferOffset(newOffset: Int): GridBurn =
+/** Weight-sum into a pre-computed cell index — the aggregation half of
+  * [[Raster.rasterizePoints]]. Runs AFTER the tile repartition, so each
+  * task only ever holds grids for its own tiles and every tile's grid is
+  * built exactly once: partial output is one grid per tile TOTAL (the
+  * in-stage partial->final handoff), not one per tile per map partition.
+  * Same double-accumulate / float-at-eval and wire format as [[GridBurn]].
+  */
+case class GridCellSum(
+    cell: Expression,
+    weight: Expression,
+    resolution: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Double]] {
+  require(resolution > 0 && resolution <= 4096, s"grid_cell_sum: bad resolution $resolution")
+
+  override def children: Seq[Expression] = Seq(cell, weight)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override def createAggregationBuffer(): Array[Double] =
+    new Array[Double](resolution * resolution)
+
+  override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
+    val cv = cell.eval(input)
+    val wv = weight.eval(input)
+    if (cv != null && wv != null) buf(cv.asInstanceOf[Int]) += wv.asInstanceOf[Double]
+    buf
+  }
+
+  override def merge(buf: Array[Double], other: Array[Double]): Array[Double] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Double]): Any = GridCodec.toFloats(buf)
+  override def serialize(buf: Array[Double]): Array[Byte] = GridCodec.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): Array[Double] =
+    GridCodec.deserialize(bytes, resolution * resolution)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): GridCellSum =
     copy(mutableAggBufferOffset = newOffset)
-  override def withNewInputAggBufferOffset(newOffset: Int): GridBurn =
+  override def withNewInputAggBufferOffset(newOffset: Int): GridCellSum =
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
-    copy(wkb = newChildren(0), weight = newChildren(1), x = newChildren(2), y = newChildren(3))
+    copy(cell = newChildren(0), weight = newChildren(1))
+}
+
+/** `point-wkb -> packed (tile x | tile y | cell)` long at (zoom, resolution)
+  * — the codegen'd map-side projection of [[Raster.rasterizePoints]].
+  * Delegates to [[Raster.pointKey]], which shares the burn paths' arithmetic
+  * bit-for-bit and throws on non-point geometry (the lean shuffle row
+  * cannot represent a multi-cell burn).
+  */
+case class GridPointKey(
+    wkb: Expression,
+    zoom: Int,
+    resolution: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def child: Expression = wkb
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(b: Any): Any =
+    Raster.pointKey(b.asInstanceOf[Array[Byte]], zoom, resolution)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, b =>
+      s"vps.raster.Raster.pointKey($b, $zoom, $resolution)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(wkb = c)
 }

@@ -2,7 +2,7 @@ package vps.raster
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.locationtech.jts.geom.{Coordinate, Geometry}
+import org.locationtech.jts.geom.Geometry
 
 import vps.geom.{Geo, TileMath, Wkb}
 import vps.sql.functions._
@@ -111,12 +111,8 @@ object Raster {
       cells: Array[Double]): Unit =
     g match {
       case p: org.locationtech.jts.geom.Point =>
-        val dx = env.getWidth / resolution
-        val dy = env.getHeight / resolution
         val c = p.getCoordinate
-        val ci = clamp(((c.x - env.getMinX) / dx).toInt, resolution)
-        val cj = clamp(((env.getMaxY - c.y) / dy).toInt, resolution)
-        cells(cj * resolution + ci) += w
+        burnPointXY(c.x, c.y, w, env, resolution, cells)
       case other if !other.isEmpty &&
           other.isInstanceOf[org.locationtech.jts.geom.Lineal] =>
         burnScan(other, w, env, resolution, cells)
@@ -291,6 +287,150 @@ object Raster {
     }
   }
 
+  /** Point burn shared by every path (JTS case, WKB fast path, cell-index
+    * expression) so the cell assignment is identical by construction.
+    */
+  private[vps] def burnPointXY(
+      px: Double,
+      py: Double,
+      w: Double,
+      env: org.locationtech.jts.geom.Envelope,
+      resolution: Int,
+      cells: Array[Double]): Unit = {
+    val dx = env.getWidth / resolution
+    val dy = env.getHeight / resolution
+    val ci = clamp(((px - env.getMinX) / dx).toInt, resolution)
+    val cj = clamp(((env.getMaxY - py) / dy).toInt, resolution)
+    cells(cj * resolution + ci) += w
+  }
+
+  /** Burn a geometry given as WKB, decoding plain 2-D point WKB (21 bytes,
+    * either byte order) straight off the buffer — rasterizing a point corpus
+    * costs zero JTS allocations per row. Everything else takes the full
+    * [[Wkb.read]] + [[burn]] path. Cell math is [[burnPointXY]] on the exact
+    * coordinate doubles JTS would produce, so output is byte-identical.
+    */
+  private[vps] def burnWkb(
+      bytes: Array[Byte],
+      w: Double,
+      env: org.locationtech.jts.geom.Envelope,
+      resolution: Int,
+      cells: Array[Double]): Unit = {
+    if (bytes.length == 21) {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      if (bytes(0) == 1) bb.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      if (bb.getInt(1) == 1) {
+        burnPointXY(bb.getDouble(5), bb.getDouble(13), w, env, resolution, cells)
+        return
+      }
+    }
+    burn(Wkb.read(bytes), w, env, resolution, cells)
+  }
+
+  /** Packed `tile-x (20 bits) | tile-y (20 bits) | cell (24 bits)` key of a
+    * point-WKB at (zoom, resolution) — the ONE per-row call of
+    * [[rasterizePoints]]'s map side. For a point, tile assignment reduces to
+    * `(TileMath.tileX, TileMath.tileY)` (keysForGeometry of a degenerate
+    * envelope is exactly that single key), and the cell inlines the
+    * [[TileMath.tileEnvelopeLatLng]] + [[burnPointXY]] arithmetic (same ops,
+    * same order, no Envelope allocation) — bit-identical to the grid paths.
+    * Throws on non-point geometry: a packed key cannot represent a
+    * multi-cell burn, so silently burning a polygon's first vertex would
+    * corrupt results — [[rasterize]] is the any-geometry path.
+    * Public + static-forwarded: called from generated code.
+    */
+  def pointKey(bytes: Array[Byte], zoom: Int, resolution: Int): Long = {
+    var px = 0.0
+    var py = 0.0
+    if (bytes.length == 21) {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      if (bytes(0) == 1) bb.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      if (bb.getInt(1) != 1)
+        throw new IllegalArgumentException(
+          s"rasterizePoints: POINT geometry required, got WKB type ${bb.getInt(1)}")
+      px = bb.getDouble(5)
+      py = bb.getDouble(13)
+    } else {
+      Wkb.read(bytes) match {
+        case p: org.locationtech.jts.geom.Point =>
+          val c = p.getCoordinate; px = c.x; py = c.y
+        case other =>
+          throw new IllegalArgumentException(
+            s"rasterizePoints: POINT geometry required, got ${other.getGeometryType}")
+      }
+    }
+    val tx = TileMath.tileX(px, zoom)
+    val ty = TileMath.tileY(py, zoom)
+    val n = TileMath.numTiles(zoom).toDouble
+    val lonMin = tx / n * 360.0 - 180.0
+    val lonMax = (tx + 1) / n * 360.0 - 180.0
+    val latTop = math.toDegrees(math.atan(math.sinh(math.Pi * (1.0 - 2.0 * ty / n))))
+    val latBot = math.toDegrees(math.atan(math.sinh(math.Pi * (1.0 - 2.0 * (ty + 1.0) / n))))
+    val dx = (lonMax - lonMin) / resolution
+    val dy = (latTop - latBot) / resolution
+    val ci = clamp(((px - lonMin) / dx).toInt, resolution)
+    val cj = clamp(((latTop - py) / dy).toInt, resolution)
+    (tx.toLong << 44) | (ty.toLong << 24) | (cj * resolution + ci).toLong
+  }
+
+  /** Space-partitioned rasterize for POINT inputs — the bounded-memory scale
+    * path. [[rasterize]]'s grid-carrying partial aggregation keeps one grid
+    * per in-flight tile per map partition: with randomly ordered input every
+    * partition touches every hot tile, so partial state (and its serialized
+    * shuffle volume) grows as `partitions x tiles x resolution^2` and the
+    * per-task random-write working set is ALL tiles' grids (measured: at
+    * zoom 6 / res 16 / 67M points the map stage's shuffle write tripled and
+    * its CPU per point nearly doubled going 4 -> 16 local cores — the 8 MB
+    * per-task grid working set stops fitting shared cache).
+    *
+    * Here the per-point row is reduced map-side to 16 meaningful bytes
+    * (tile x, tile y, cell, weight) with ZERO allocations (point WKB decoded
+    * off the buffer, cell index closed-form), pre-partitioned by tile, and
+    * each tile's grid is then built exactly ONCE by [[GridCellSum]]: working
+    * set per task = only that task's tiles, partial output = one grid per
+    * tile TOTAL regardless of parallelism. Costs one row-level exchange of
+    * O(points) lean rows; wins when partials are dense (points per tile per
+    * partition >> 1) or when `tiles x resolution^2 x 8B` exceeds per-task
+    * cache — exactly the hot-raster regime. Byte-identical to [[rasterize]]
+    * (RasterSpec).
+    */
+  def rasterizePoints(
+      input: DataFrame,
+      zoom: Int,
+      resolution: Int = 256,
+      weightCol: Option[String] = None): Dataset[RasterTile] = {
+    val spark = input.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.vps.ColumnBridge.{column => cb, expression => ex}
+    require(zoom <= 20, s"rasterizePoints: zoom $zoom exceeds the 20-bit packed-key range")
+    val weighted = weightCol.map(c => input.withColumn("_w", col(c).cast("double")))
+      .getOrElse(input.withColumn("_w", lit(1.0)))
+
+    // ONE allocation-free codegen call per row (packed tile+cell key), then
+    // pure bit arithmetic — no tile_keys array, no explode, no WKB in the
+    // shuffle row. The interpreted tile_keys+explode pipeline was measured
+    // NOT thread-scaling (its per-row allocations saturate the shared memory
+    // subsystem before the cores do). The geometry UDT feeds GridPointKey
+    // directly (its sqlType is binary) — st_asWKB is CodegenFallback and
+    // would evict this projection from whole-stage codegen.
+    val keyed = weighted
+      .select(cb(GridPointKey(ex(col("geom")), zoom, resolution)).as("pk"),
+        col("_w"))
+      .select(shiftright(col("pk"), 44).cast("int").as("x"),
+        shiftright(col("pk"), 24).bitwiseAND(0xFFFFFL).cast("int").as("y"),
+        col("pk").bitwiseAND(0xFFFFFFL).cast("int").as("cell"),
+        col("_w"))
+    val sum = cb(GridCellSum(ex(col("cell")), ex(col("_w")), resolution)
+      .toAggregateExpression())
+    keyed
+      .repartition(col("x"), col("y"))
+      .groupBy(col("x"), col("y"))
+      .agg(sum.as("cells"))
+      .select(lit(zoom).as("zoom"), col("x"), col("y"),
+        lit(resolution).as("resolution"), col("cells"))
+      .as[RasterTile]
+  }
+
   private def clamp(v: Int, res: Int): Int = math.max(0, math.min(res - 1, v))
 
   /** Zonal statistics: per-zone aggregates of raster cell values whose cell
@@ -324,6 +464,10 @@ object Raster {
       val index = vps.joins.SpatialJoins.buildIndex(bc.value)
       // zone_id -> (n, sum, min, max)
       val acc = scala.collection.mutable.HashMap.empty[Long, (Long, Double, Double, Double)]
+      // one mutable probe point per task: the cell-center test runs once per
+      // nonzero cell and a fresh JTS Point per cell is pure allocation churn
+      val probe = Geo.point(0, 0)
+      val probeCoord = probe.getCoordinate
       ts.foreach { t =>
         val env = TileMath.tileEnvelopeLatLng(t.zoom, t.x, t.y)
         val rawHits = index.query(env)
@@ -344,8 +488,10 @@ object Raster {
             while (ci < res) {
               val v = t.cells(cj * res + ci)
               if (v != 0f) {
-                val pt = Geo.factory.createPoint(new Coordinate(
-                  env.getMinX + (ci + 0.5) * dx, env.getMaxY - (cj + 0.5) * dy))
+                probeCoord.x = env.getMinX + (ci + 0.5) * dx
+                probeCoord.y = env.getMaxY - (cj + 0.5) * dy
+                probe.geometryChanged()
+                val pt = probe
                 var k = 0
                 while (k < hits.length) {
                   val (zid, pg) = hits(k)

@@ -21,8 +21,26 @@ import vps.kernels.{Clip, Simplify}
 object GeomOps {
   // static helpers callable from generated Java (whole-stage codegen)
   def point(lon: Double, lat: Double): Array[Byte] = Wkb.write(Geo.point(lon, lat))
-  def stx(wkb: Array[Byte]): Double = Wkb.read(wkb).getCoordinate.x
-  def sty(wkb: Array[Byte]): Double = Wkb.read(wkb).getCoordinate.y
+  // plain 2-D point WKB (21 bytes): read the coordinate straight off the
+  // buffer — st_x/st_y over a point corpus are codegen'd hot-path calls and
+  // the full parse allocates a geometry per call (the allocation stream is
+  // what stops thread-scaling); bits are identical to what WKBReader yields
+  def stx(wkb: Array[Byte]): Double =
+    if (wkb.length == 21 && pointWkbType(wkb)) readPointDouble(wkb, 5)
+    else Wkb.read(wkb).getCoordinate.x
+  def sty(wkb: Array[Byte]): Double =
+    if (wkb.length == 21 && pointWkbType(wkb)) readPointDouble(wkb, 13)
+    else Wkb.read(wkb).getCoordinate.y
+  private def pointWkbType(b: Array[Byte]): Boolean = {
+    val bb = java.nio.ByteBuffer.wrap(b)
+    if (b(0) == 1) bb.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.getInt(1) == 1
+  }
+  private def readPointDouble(b: Array[Byte], off: Int): Double = {
+    val bb = java.nio.ByteBuffer.wrap(b)
+    if (b(0) == 1) bb.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.getDouble(off)
+  }
   def area(wkb: Array[Byte]): Double = Wkb.read(wkb).getArea
   def length(wkb: Array[Byte]): Double = Wkb.read(wkb).getLength
   def numPoints(wkb: Array[Byte]): Int = Wkb.read(wkb).getNumPoints
@@ -513,8 +531,12 @@ object GeomCache {
 abstract class GeomBinaryPredicate extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = BooleanType
   protected def test(a: org.locationtech.jts.geom.prep.PreparedGeometry, b: Geometry): Boolean
+  // instance state = per-task after deserialization, so single-threaded;
+  // point probes mutate this instead of allocating a parse per row
+  @transient private lazy val probePoint = vps.geom.Geo.point(0, 0)
   override def nullSafeEval(a: Any, b: Any): Any =
-    test(GeomCache.prepared(a.asInstanceOf[Array[Byte]]), Wkb.read(b.asInstanceOf[Array[Byte]]))
+    test(GeomCache.prepared(a.asInstanceOf[Array[Byte]]),
+      Wkb.readProbe(b.asInstanceOf[Array[Byte]], probePoint))
 }
 
 case class StContains(left: Expression, right: Expression) extends GeomBinaryPredicate {
@@ -560,8 +582,12 @@ case class StIntersectsKeyed(first: Expression, second: Expression, third: Expre
         org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(Wkb.read(wkb)))
       cache.put(key, e)
     }
-    e.prepared.intersects(Wkb.read(p.asInstanceOf[Array[Byte]]))
+    e.prepared.intersects(Wkb.readProbe(p.asInstanceOf[Array[Byte]], probePoint))
   }
+  // point probes reuse one instance-scoped mutable Point (per-task state,
+  // single-threaded; JTS predicates don't retain the probe) — the refine
+  // runs once per candidate pair and the parse allocations dominated it
+  @transient private lazy val probePoint = vps.geom.Geo.point(0, 0)
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
     copy(f, s, t)
 }
@@ -584,8 +610,10 @@ object StIntersectsKeyed {
 case class StWithin(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = BooleanType
+  @transient private lazy val probePoint = vps.geom.Geo.point(0, 0)
   override def nullSafeEval(a: Any, b: Any): Any =
-    GeomCache.prepared(b.asInstanceOf[Array[Byte]]).contains(Wkb.read(a.asInstanceOf[Array[Byte]]))
+    GeomCache.prepared(b.asInstanceOf[Array[Byte]])
+      .contains(Wkb.readProbe(a.asInstanceOf[Array[Byte]], probePoint))
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 case class StDistance(left: Expression, right: Expression)

@@ -75,6 +75,31 @@ class RasterSpec extends AnyFunSuite {
     assert(math.abs(total - 0.1 * pts.count()) < 1e-3, s"total=$total")
   }
 
+  test("space-partitioned rasterizePoints is byte-equal to rasterize; rejects non-points") {
+    val docs = vps.docs.InterleavedDocs.fromDocuments(spark, "/root/testdata/sf0.001")
+    val pts = vps.docs.InterleavedDocs.extractGeoSpans(docs)
+      .select(($"id" * 10 + $"span_offset").as("id"), $"geom")
+    def grids(ds: org.apache.spark.sql.Dataset[Raster.RasterTile]) =
+      ds.collect().map(t => ((t.x, t.y), t.cells.toSeq)).toMap
+    assert(grids(Raster.rasterizePoints(pts, 3, 64)) === grids(Raster.rasterize(pts, 3, 64)))
+    // float-unrepresentable weights: double accumulation makes the single-build
+    // grid and the partial-merged grid round to the same floats
+    val w01 = pts.withColumn("wt", lit(0.1))
+    assert(grids(Raster.rasterizePoints(w01, 3, 64, weightCol = Some("wt"))) ===
+      grids(Raster.rasterize(w01, 3, 64, weightCol = Some("wt"))))
+    // the lean cell row cannot represent a multi-cell burn: polygons must fail
+    // loudly, not burn their first vertex
+    val poly = Seq((1L, "POLYGON ((0 0, 40 0, 40 40, 0 40, 0 0))"))
+      .toDF("id", "wkt").select($"id", st_geomFromWKT($"wkt").as("geom"))
+    // thrown in a task (SparkException wrapper) or driver-side when the plan
+    // evaluates the projection locally — either way it must name the contract
+    val err = intercept[Exception] {
+      Raster.rasterizePoints(poly, 2, 32).collect()
+    }
+    assert(Iterator.iterate(err: Throwable)(_.getCause).takeWhile(_ != null).take(5)
+      .exists(e => Option(e.getMessage).exists(_.contains("POINT geometry required"))))
+  }
+
   test("scanline burn is byte-identical to the per-cell reference on adversarial geometries") {
     val env = vps.geom.TileMath.tileEnvelopeLatLng(3, 4, 3)
     val res = 64
