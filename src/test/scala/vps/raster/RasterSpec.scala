@@ -100,6 +100,30 @@ class RasterSpec extends AnyFunSuite {
       .exists(e => Option(e.getMessage).exists(_.contains("POINT geometry required"))))
   }
 
+  test("rasterizePoints on tile/cell boundary points agrees with rasterize byte-for-byte") {
+    // adversarial coordinates: exactly on tile edges, cell edges, the
+    // antimeridian, poles beyond the mercator clamp, and the clamp latitude
+    // itself — the packed-key path computes tile + cell in one closed form
+    // and must land every edge case in the same cell as tile_keys + GridBurn
+    val zoom = 4
+    val res = 16
+    val n = vps.geom.TileMath.numTiles(zoom).toDouble
+    val lons = Seq(-180.0, -179.9999999, 0.0, 179.9999999, 180.0) ++
+      (0 until 16).map(i => i / n * 360.0 - 180.0) ++ // tile edges
+      (0 until 16).map(i => (i + 0.5) / n * 360.0 - 180.0)
+    val lats = Seq(-90.0, -85.05112877980659, -85.0511287798066, 0.0,
+      85.05112877980659, 90.0) ++
+      (1 until 16).map(j => math.toDegrees(math.atan(math.sinh(math.Pi * (1.0 - 2.0 * j / n)))))
+    val pts = lons.zipWithIndex.flatMap { case (lon, i) =>
+      lats.zipWithIndex.map { case (lat, j) => ((i * 100 + j).toLong, lon, lat) }
+    }
+    val df = pts.toDF("id", "lon", "lat")
+      .select($"id", st_point($"lon", $"lat").as("geom"))
+    def grids(ds: org.apache.spark.sql.Dataset[Raster.RasterTile]) =
+      ds.collect().map(t => ((t.x, t.y), t.cells.toSeq)).toMap
+    assert(grids(Raster.rasterizePoints(df, zoom, res)) === grids(Raster.rasterize(df, zoom, res)))
+  }
+
   test("scanline burn is byte-identical to the per-cell reference on adversarial geometries") {
     val env = vps.geom.TileMath.tileEnvelopeLatLng(3, 4, 3)
     val res = 64
