@@ -85,16 +85,29 @@ case class StGeomFromWkb(child: Expression) extends UnaryExpression with Codegen
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
-case class StAsWkb(child: Expression) extends UnaryExpression with CodegenFallback {
+case class StAsWkb(child: Expression) extends UnaryExpression {
   override def dataType: DataType = BinaryType
   override def nullSafeEval(b: Any): Any = b
+  // identity on the UDT's stored bytes — codegen'd so projections carrying
+  // st_asWKB stay inside whole-stage codegen (a CodegenFallback MARKER, even
+  // with a real doGenCode, evicts the hosting plan from WSCG)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => b)
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
-abstract class GeomUnary extends UnaryExpression with CodegenFallback {
+/** Base for unary geometry expressions. Subclasses that define codegen
+  * extend this DIRECTLY (the CodegenFallback marker trait alone — even with
+  * doGenCode overridden — makes CollapseCodegenStages evict the hosting
+  * plan from whole-stage codegen); interpreted ones extend
+  * [[GeomUnaryFallback]].
+  */
+abstract class GeomUnary extends UnaryExpression {
   protected def evalGeom(g: Geometry): Any
   override def nullSafeEval(b: Any): Any = evalGeom(Wkb.read(b.asInstanceOf[Array[Byte]]))
 }
+
+abstract class GeomUnaryFallback extends GeomUnary with CodegenFallback
 
 case class StX(child: Expression) extends GeomUnary {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -131,7 +144,7 @@ case class StNumPoints(child: Expression) extends GeomUnary {
   override protected def evalGeom(g: Geometry): Any = g.getNumPoints
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
-case class StCentroid(child: Expression) extends GeomUnary {
+case class StCentroid(child: Expression) extends GeomUnaryFallback {
   override def dataType: DataType = GeometryUDT.Instance
   override protected def evalGeom(g: Geometry): Any = Wkb.write(g.getCentroid)
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
@@ -141,14 +154,14 @@ case class StCentroid(child: Expression) extends GeomUnary {
   * that complements the ErrorChannel path: fix what is fixable instead of
   * nulling it. Valid input passes through structurally unchanged.
   */
-case class StMakeValid(child: Expression) extends GeomUnary {
+case class StMakeValid(child: Expression) extends GeomUnaryFallback {
   override def dataType: DataType = GeometryUDT.Instance
   override protected def evalGeom(g: Geometry): Any =
     Wkb.write(if (g.isValid) g else org.locationtech.jts.geom.util.GeometryFixer.fix(g))
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 /** True when the geometry is valid under the OGC rules (JTS isValid). */
-case class StIsValid(child: Expression) extends GeomUnary {
+case class StIsValid(child: Expression) extends GeomUnaryFallback {
   override def dataType: DataType = BooleanType
   override protected def evalGeom(g: Geometry): Any = g.isValid
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
@@ -165,19 +178,19 @@ case class StBuffer(left: Expression, right: Expression)
     copy(l, r)
 }
 /** Convex hull (JTS). */
-case class StConvexHull(child: Expression) extends GeomUnary {
+case class StConvexHull(child: Expression) extends GeomUnaryFallback {
   override def dataType: DataType = GeometryUDT.Instance
   override protected def evalGeom(g: Geometry): Any = Wkb.write(g.convexHull())
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 /** Envelope as a polygon (JTS getEnvelope: point/degenerate inputs shrink). */
-case class StEnvelope(child: Expression) extends GeomUnary {
+case class StEnvelope(child: Expression) extends GeomUnaryFallback {
   override def dataType: DataType = GeometryUDT.Instance
   override protected def evalGeom(g: Geometry): Any = Wkb.write(g.getEnvelope)
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 /** Topological boundary (polygon -> rings, line -> endpoints). */
-case class StBoundary(child: Expression) extends GeomUnary {
+case class StBoundary(child: Expression) extends GeomUnaryFallback {
   override def dataType: DataType = GeometryUDT.Instance
   override protected def evalGeom(g: Geometry): Any = Wkb.write(g.getBoundary)
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
@@ -211,7 +224,7 @@ case class StSymDifference(left: Expression, right: Expression) extends GeomBina
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 /** Number of components in a (multi-)geometry (JTS getNumGeometries). */
-case class StNumGeometries(child: Expression) extends GeomUnary {
+case class StNumGeometries(child: Expression) extends GeomUnaryFallback {
   override def dataType: DataType = IntegerType
   override protected def evalGeom(g: Geometry): Any = g.getNumGeometries
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
@@ -223,14 +236,14 @@ case class StIsEmpty(child: Expression) extends GeomUnary {
   override protected def evalGeom(g: Geometry): Any = g.isEmpty
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
-case class StGeometryType(child: Expression) extends GeomUnary {
+case class StGeometryType(child: Expression) extends GeomUnaryFallback {
   override def dataType: DataType = StringType
   override protected def evalGeom(g: Geometry): Any = UTF8String.fromString(g.getGeometryType)
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
 /** Closed-form EPSG:4326 -> EPSG:3857 (the reference's st_reprojectGeom defaults). */
-case class StToWebMercator(child: Expression) extends GeomUnary {
+case class StToWebMercator(child: Expression) extends GeomUnaryFallback {
   override def dataType: DataType = GeometryUDT.Instance
   override protected def evalGeom(g: Geometry): Any = {
     val copy = g.copy()
@@ -246,7 +259,7 @@ case class StToWebMercator(child: Expression) extends GeomUnary {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
-case class StToLonLat(child: Expression) extends GeomUnary {
+case class StToLonLat(child: Expression) extends GeomUnaryFallback {
   override def dataType: DataType = GeometryUDT.Instance
   override protected def evalGeom(g: Geometry): Any = {
     val copy = g.copy()
@@ -672,12 +685,18 @@ case class CellParent(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
+object CellKRing {
+  /** Public + static: called from generated code. */
+  def ring(cell: Long, k: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    new GenericArrayData(CellId.kRing(cell, k).toArray)
+}
 case class CellKRing(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback with org.apache.spark.sql.vps.VpsImplicitCasts {
+    extends BinaryExpression with org.apache.spark.sql.vps.VpsImplicitCasts {
   override protected def coerceTo: Seq[DataType] = Seq(LongType, IntegerType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullSafeEval(cell: Any, k: Any): Any =
-    new GenericArrayData(CellId.kRing(cell.asInstanceOf[Long], k.asInstanceOf[Int]).toArray)
+  override def nullSafeEval(cell: Any, k: Any): Any = CellKRing.ring(cell.asInstanceOf[Long], k.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, k) => s"vps.sql.CellKRing.ring($c, $k)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
@@ -685,17 +704,46 @@ object TileKeysOf {
   val elementType: StructType =
     StructType(Seq(StructField("x", IntegerType, nullable = false),
       StructField("y", IntegerType, nullable = false)))
+
+  /** Shared eval: every map-side keying pipeline (tiles pack, rasterize,
+    * pyramid) runs this per row, so it fast-paths plain 2-D point WKB
+    * (21 bytes -> the single (tileX, tileY) key, no JTS parse — identical
+    * by construction: keysForGeometry of a point's degenerate envelope IS
+    * that one key) and builds the array data directly. Public + static:
+    * called from generated code.
+    */
+  def keys(wkb: Array[Byte], zoom: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (wkb.length == 21) {
+      val bb = java.nio.ByteBuffer.wrap(wkb)
+      if (wkb(0) == 1) bb.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      if (bb.getInt(1) == 1) {
+        val px = bb.getDouble(5)
+        val py = bb.getDouble(13)
+        return new GenericArrayData(
+          Array[Any](InternalRow(TileMath.tileX(px, zoom), TileMath.tileY(py, zoom))))
+      }
+    }
+    val ks = TileMath.keysForGeometry(Wkb.read(wkb), zoom)
+    val out = new Array[Any](ks.length)
+    var i = 0
+    while (i < ks.length) { out(i) = InternalRow(ks(i)._1, ks(i)._2); i += 1 }
+    new GenericArrayData(out)
+  }
 }
 
-/** All ZXY keys whose tile intersects the geometry envelope (reference `keyTo`). */
+/** All ZXY keys whose tile intersects the geometry envelope (reference
+  * `keyTo`). Codegen'd (static call, NOT CodegenFallback): a fallback here
+  * evicts every keying projection/generator from whole-stage codegen, and
+  * this sits on the tiles/rasterize map side at one call per row.
+  */
 case class TileKeysOf(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback with org.apache.spark.sql.vps.VpsImplicitCasts {
+    extends BinaryExpression with org.apache.spark.sql.vps.VpsImplicitCasts {
   override protected def coerceTo: Seq[DataType] = Seq(GeometryUDT.Instance, IntegerType)
   override def dataType: DataType = ArrayType(TileKeysOf.elementType, containsNull = false)
-  override def nullSafeEval(b: Any, z: Any): Any = {
-    val keys = TileMath.keysForGeometry(Wkb.read(b.asInstanceOf[Array[Byte]]), z.asInstanceOf[Int])
-    new GenericArrayData(keys.map { case (x, y) => InternalRow(x, y) }.toArray)
-  }
+  override def nullSafeEval(b: Any, z: Any): Any =
+    TileKeysOf.keys(b.asInstanceOf[Array[Byte]], z.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, z) => s"vps.sql.TileKeysOf.keys($b, $z)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
