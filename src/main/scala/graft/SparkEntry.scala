@@ -132,10 +132,12 @@ object SparkEntry {
       val events = t(dir, "events").select(col("event_id"), col("user_id"), col("ts"))
       val orders = t(dir, "orders")
         .select(col("o_custkey").as("user_id"), col("o_orderkey"), col("o_orderdate"))
-      val joined = events.join(orders, Seq("user_id")).where(col("o_orderdate") <= col("ts"))
-      val w = Window.partitionBy(col("event_id")).orderBy(col("o_orderdate").desc, col("o_orderkey"))
-      joined.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-        .select(col("event_id"), col("o_orderkey"))
+      // aggregation-form as-of: partial agg collapses each event's candidate
+      // orders map-side; the window form shuffled + sorted the whole
+      // equi-join candidate set (same latest-date-then-smallest-key result)
+      vps.joins.SpatialJoins.asofLatestAgg(events, orders, Seq("user_id"),
+          leftTimeCol = "ts", rightTimeCol = "o_orderdate",
+          leftIdCol = "event_id", tieBreakCol = "o_orderkey", valueCols = Seq("o_orderkey"))
         .orderBy("event_id")
     }),
     "q06_change_detect" -> ((s, dir) => {
@@ -1113,6 +1115,32 @@ object SparkEntry {
           |  (doc_id * 151) % 256 AS mean_g,
           |  (doc_id * 197) % 256 AS mean_b
           |FROM m ORDER BY doc_id""".stripMargin,
+      // stopword-profile language id mirrored in SQL: score = occurrences of
+      // each profile's stopwords among the first 500 whitespace tokens
+      // (duplicates counted, matching tokens.count), argmax with the
+      // documented en>es>de>fr>it tie order via cascaded >=
+      "q22_langid" ->
+        """WITH toks AS (
+          |  SELECT doc_id, list_slice(string_split_regex(lower(text), '\s+'), 1, 500) AS tk
+          |  FROM documents),
+          |scores AS (
+          |  SELECT doc_id,
+          |    len(list_filter(tk, t -> t IN ('the','and','of','to','in','is','that','it','for','with','was','on'))) AS s_en,
+          |    len(list_filter(tk, t -> t IN ('el','la','de','que','y','en','los','del','las','por','un','para'))) AS s_es,
+          |    len(list_filter(tk, t -> t IN ('der','die','und','das','von','zu','mit','den','im','für','ist','des'))) AS s_de,
+          |    len(list_filter(tk, t -> t IN ('le','la','les','de','des','et','en','un','une','du','que','est'))) AS s_fr,
+          |    len(list_filter(tk, t -> t IN ('il','di','che','la','per','non','con','una','del','gli','più','nel'))) AS s_it
+          |  FROM toks),
+          |lang AS (
+          |  SELECT CASE
+          |    WHEN greatest(s_en,s_es,s_de,s_fr,s_it) = 0 THEN 'und'
+          |    WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_it THEN 'en'
+          |    WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_it THEN 'es'
+          |    WHEN s_de >= s_fr AND s_de >= s_it THEN 'de'
+          |    WHEN s_fr >= s_it THEN 'fr'
+          |    ELSE 'it' END AS lang
+          |  FROM scores)
+          |SELECT lang, count(*) AS n FROM lang GROUP BY lang ORDER BY lang""".stripMargin,
       // rolling-hash fingerprint mirrored in SQL: the polynomial fold runs
       // over UTF-16 code units == unicode codepoints (corpus is ASCII;
       // list_reduce over string_split), and the splitmix64 finalizer is
@@ -1193,9 +1221,8 @@ object SparkEntry {
           |          SELECT e.u AS id, r.lab FROM reach r JOIN edges e ON e.w = r.id)
           |SELECT id, CAST(MIN(lab) AS BIGINT) AS keep_id FROM reach GROUP BY id ORDER BY id""".stripMargin
       // q15/q16/q17 (minhash/simhash/embedding near-dup candidate lists) are
-      // projection-covered by q27/q41/q42's exact oracles; q22 (langid) is the
-      // one honest rows-only query (profile-scoring kernel, ScalaTest truth
-      // tables in PipelineOpsSpec).
+      // the only rows-only queries left, projection-covered by q27/q41/q42's
+      // exact oracles.
     )
   }
 }

@@ -293,6 +293,33 @@ object SpatialJoins {
     joined.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
   }
 
+  /** As-of latest join, aggregation form: for each left row (identified by
+    * `leftIdCol`), the `valueCols` of the single right row with the greatest
+    * `rightTimeCol <= leftTimeCol`, ties broken to the SMALLEST `tieBreakCol`
+    * (must be numeric). Same semantics as [[asofLatestJoin]] projected to
+    * (leftId, values), but the plan is a hash aggregation instead of a
+    * sort window: partial aggregation collapses each left row's candidate
+    * set map-side BEFORE the exchange, so only one row per left id crosses
+    * the shuffle — the window form shuffles and sorts the full equi-join
+    * candidate set (|left| x avg right rows per key).
+    */
+  def asofLatestAgg(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTimeCol: String,
+      rightTimeCol: String,
+      leftIdCol: String,
+      tieBreakCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    val joined = left.join(right, keys)
+      .where(col(rightTimeCol) <= col(leftTimeCol))
+    // lexicographic struct max = latest time, then smallest tie-break
+    val ord = struct(col(rightTimeCol), (-col(tieBreakCol)).as("_nk"))
+    val aggs = valueCols.map(v => max_by(col(v), ord).as(v))
+    joined.groupBy(col(leftIdCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Exact kNN with cell pruning: run [[knnCellJoin]] with `initialRing`, then
     * verify per query that the ring PROVABLY contains the true top-k — the kth
     * candidate distance must not exceed the distance from the query point to

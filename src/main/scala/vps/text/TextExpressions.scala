@@ -151,7 +151,9 @@ object TextOps {
   }
 
   // ---- language id: tiny stopword-profile heuristic ----
-  private val Profiles: Map[String, Set[String]] = Map(
+  // Ordered: ties break to the EARLIER profile (en > es > de > fr > it), a
+  // documented total order that a SQL oracle can mirror with cascaded >=.
+  private val Profiles: Seq[(String, Set[String])] = Seq(
     "en" -> Set("the", "and", "of", "to", "in", "is", "that", "it", "for", "with", "was", "on"),
     "es" -> Set("el", "la", "de", "que", "y", "en", "los", "del", "las", "por", "un", "para"),
     "de" -> Set("der", "die", "und", "das", "von", "zu", "mit", "den", "im", "für", "ist", "des"),
@@ -161,7 +163,7 @@ object TextOps {
   /** Best-scoring stopword profile; "und" = undetermined (no hits). */
   def langId(s: String): String = {
     if (s == null || s.isEmpty) return "und"
-    val tokens = s.toLowerCase.split("\\s+").take(500)
+    val tokens = s.toLowerCase(java.util.Locale.ROOT).split("\\s+").take(500)
     var best = "und"
     var bestScore = 0
     Profiles.foreach { case (lang, stops) =>

@@ -158,6 +158,23 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(got === Map(1L -> "a", 2L -> "b")) // lid=3: no right row <= 10 for key 200
   }
 
+  test("asofLatestAgg matches asofLatestJoin and breaks time ties to the smallest id") {
+    val left = Seq((1L, 100L, 10L), (2L, 100L, 25L), (3L, 200L, 10L)).toDF("lid", "k", "t")
+    // key 100 has two rows at rt=20 (ids 7 and 4): tie must resolve to id 4
+    val right = Seq((100L, 5L, 9L), (100L, 20L, 7L), (100L, 20L, 4L), (100L, 30L, 1L),
+      (200L, 50L, 2L)).toDF("k", "rt", "rid")
+    val agg = SpatialJoins.asofLatestAgg(left, right, Seq("k"), "t", "rt", "lid", "rid", Seq("rid"))
+      .as[(Long, Long)].collect().toMap
+    assert(agg === Map(1L -> 9L, 2L -> 4L)) // lid=3: no right row <= 10 for key 200
+    // tie-free input: both forms must agree row-for-row
+    val rightNoTie = right.where($"rid" =!= 4L)
+    val aggNt = SpatialJoins.asofLatestAgg(left, rightNoTie, Seq("k"), "t", "rt", "lid", "rid", Seq("rid"))
+      .as[(Long, Long)].collect().toMap
+    val winNt = SpatialJoins.asofLatestJoin(left, rightNoTie, Seq("k"), "t", "rt", "lid")
+      .select($"lid", $"rid").as[(Long, Long)].collect().toMap
+    assert(aggNt === winNt)
+  }
+
   test("asofRangeJoin honors [validFrom, validUntil) with null = open") {
     val left = Seq((1L, 7L, 15L), (2L, 7L, 100L)).toDF("lid", "k", "t")
     val right = Seq((7L, 10L, Some(20L), "in-window"), (7L, 50L, None, "open"))

@@ -309,6 +309,11 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(TextOps.langId("the cat sat on the mat and it was happy") === "en")
     assert(TextOps.langId("el perro y la casa de los niños en madrid") === "es")
     assert(TextOps.langId("") === "und")
+    // tie-break is the documented profile order (en > es > de > fr > it):
+    // "la de que" scores es=3 and fr=3 (shared stopwords) -> es wins
+    assert(TextOps.langId("la de que") === "es")
+    // "le une du" is fr-only vocabulary -> fr despite the es-precedence
+    assert(TextOps.langId("le une du") === "fr")
     val row = Seq(("hello world  foo", 3)).toDF("text", "expected")
       .select(token_count($"text").as("n"), doc_fingerprint($"text").as("fp"),
         quality_features($"text").as("q"))
