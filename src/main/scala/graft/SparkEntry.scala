@@ -709,6 +709,39 @@ object SparkEntry {
   private val tileXSql =
     (lon: String, z: Int) => s"CAST(floor(($lon + 180.0)/360.0 * ${1 << z}) AS INT)"
 
+  // ---- splitmix64-in-SQL builders (q23 precedent; reused by the q15/q16/q17
+  // dedup-family mirrors). All 64-bit Java arithmetic becomes HUGEINT mod
+  // 2^64; 64x64 multiplies are split into 32-bit halves because a direct
+  // product overflows HUGEINT. Unsigned shifts become integer division.
+  private val two64 = "18446744073709551616"
+  private def mulModSql(z: String, m: Long): String = {
+    val lo = m & 0xffffffffL
+    val hi = m >>> 32
+    s"((($z)*$lo + ((($z)*$hi) % 4294967296) * 4294967296) % $two64)"
+  }
+  /** Four chained CTEs `<prefix>1..4` applying splitmix64 to `inCol` of
+    * `src`, carrying every other column through and emitting `outCol`.
+    * Staging through CTE columns (vs one nested expression) keeps each xor
+    * operand evaluated once per row on multi-million-row inputs.
+    */
+  private def mix64StagesSql(src: String, inCol: String, outCol: String, prefix: String): String =
+    Seq(
+      s"${prefix}1 AS (SELECT * REPLACE ((($inCol) + 11400714819323198485) % $two64 AS $inCol) FROM $src)",
+      s"${prefix}2 AS (SELECT * REPLACE (${mulModSql(s"xor($inCol, $inCol // 1073741824)", 0xbf58476d1ce4e5b9L)} AS $inCol) FROM ${prefix}1)",
+      s"${prefix}3 AS (SELECT * REPLACE (${mulModSql(s"xor($inCol, $inCol // 134217728)", 0x94d049bb133111ebL)} AS $inCol) FROM ${prefix}2)",
+      s"${prefix}4 AS (SELECT *, xor($inCol, $inCol // 2147483648) AS $outCol FROM ${prefix}3)"
+    ).mkString(",\n")
+  /** Fully inlined splitmix64 (for list-reduce lambdas over small row sets;
+    * subexpressions duplicate, so keep off multi-million-row paths).
+    */
+  private def mix64InlineSql(z: String): String = {
+    val s1 = s"((($z) + 11400714819323198485) % $two64)"
+    val s2 = mulModSql(s"xor($s1, $s1 // 1073741824)", 0xbf58476d1ce4e5b9L)
+    val s3 = mulModSql(s"xor($s2, $s2 // 134217728)", 0x94d049bb133111ebL)
+    s"xor($s3, $s3 // 2147483648)"
+  }
+  private def unsignedLit(v: Long): String = java.lang.Long.toUnsignedString(v)
+
   /** Z-order spread of the low 16 bits into even positions (SQL mirror of
     * CellId.spread; levels <= 16).
     */
@@ -1219,10 +1252,152 @@ object SparkEntry {
           |reach AS (SELECT id, id AS lab FROM nodes
           |          UNION
           |          SELECT e.u AS id, r.lab FROM reach r JOIN edges e ON e.w = r.id)
-          |SELECT id, CAST(MIN(lab) AS BIGINT) AS keep_id FROM reach GROUP BY id ORDER BY id""".stripMargin
-      // q15/q16/q17 (minhash/simhash/embedding near-dup candidate lists) are
-      // the only rows-only queries left, projection-covered by q27/q41/q42's
-      // exact oracles.
+          |SELECT id, CAST(MIN(lab) AS BIGINT) AS keep_id FROM reach GROUP BY id ORDER BY id""".stripMargin,
+      // Full LSH-pipeline mirror: simhash (token hash -> 64 sign-sum bits),
+      // 4x16-bit band blocking, hamming <= 3 verify — every 64-bit step in
+      // HUGEINT mod 2^64 (see the mix64 builders above). Token split mirrors
+      // TextOps.simhash exactly: only space/tab/newline separate, empties
+      // skipped; bit b set iff its +-1 count is strictly positive.
+      "q16_simhash" ->
+        s"""WITH RECURSIVE pw AS (
+           |  SELECT 0 AS b, CAST(1 AS HUGEINT) AS p UNION ALL SELECT b+1, p*2 FROM pw WHERE b < 63),
+           |corpus AS (
+           |  SELECT doc_id AS id, text FROM documents
+           |  UNION ALL SELECT doc_id + 100000, text FROM documents),
+           |tok AS (
+           |  SELECT id, unnest(list_filter(string_split_regex(text, '[ \\t\\n]'), t -> t <> '')) AS tk
+           |  FROM corpus),
+           |th AS (
+           |  SELECT id, list_reduce(
+           |    list_prepend(CAST(0 AS HUGEINT),
+           |      list_transform(string_split(tk, ''), c -> CAST(unicode(c) AS HUGEINT))),
+           |    (h, c) -> (h * 31 + c) % $two64) AS h FROM tok),
+           |${mix64StagesSql("th", "h", "z", "tm")},
+           |bitsum AS (
+           |  SELECT id, pw.b AS b, pw.p AS p,
+           |    SUM(CASE WHEN (z // pw.p) % 2 = 1 THEN 1 ELSE -1 END) AS cnt
+           |  FROM tm4 CROSS JOIN pw GROUP BY 1, 2, 3),
+           |sig AS (
+           |  SELECT id, CAST(SUM(CASE WHEN cnt > 0 THEN p ELSE 0 END) AS HUGEINT) AS sig
+           |  FROM bitsum GROUP BY id),
+           |sigb AS (
+           |  SELECT id,
+           |    CAST(CASE WHEN sig >= 9223372036854775808 THEN sig - $two64 ELSE sig END AS BIGINT) AS s,
+           |    sig FROM sig),
+           |bands AS (
+           |  SELECT id, s, unnest([0,1,2,3]) AS band,
+           |    unnest([sig % 65536, (sig // 65536) % 65536, (sig // 4294967296) % 65536, (sig // 281474976710656) % 65536]) AS bucket
+           |  FROM sigb),
+           |cand AS (
+           |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, bit_count(xor(a.s, b.s)) AS hamming
+           |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
+           |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
+      // Full MinHash+LSH mirror: 5-gram polynomial rolling hash (the mod-2^64
+      // fold equals the rolling recurrence exactly), 64 splitmix64 lanes with
+      // SIGNED mins (Java Long compare), 16 chained band hashes, in-bucket
+      // pairs, and the exact distinct-shingle Jaccard verify — floor(j*1000)
+      // reproduces the IEEE double division bit-for-bit.
+      "q15_minhash_lsh" -> {
+        val laneC = unsignedLit(0xa54ff53a5f1d36f1L)
+        val poly = (1 until 5).foldLeft("cp[i]") { (acc, k) =>
+          s"(($acc) * 1315423911 + cp[i+$k]) % $two64"
+        }
+        s"""WITH corpus AS (
+           |  SELECT doc_id AS id, text FROM documents
+           |  UNION ALL SELECT doc_id + 100000, text || ' tiny suffix' FROM documents),
+           |cps AS (
+           |  SELECT id, list_transform(string_split(text, ''), c -> CAST(unicode(c) AS HUGEINT)) AS cp,
+           |    length(text) AS n FROM corpus),
+           |w0 AS (
+           |  SELECT id, $poly AS h
+           |  FROM (SELECT id, cp, unnest(range(1, greatest(n - 3, 1))) AS i FROM cps)),
+           |${mix64StagesSql("w0", "h", "sh", "wm")},
+           |sh AS (SELECT DISTINCT id, sh FROM wm4),
+           |lz AS (
+           |  SELECT id, j, xor(sh, (j * $laneC) % $two64) AS z
+           |  FROM sh CROSS JOIN (SELECT unnest(range(0, 64)) AS j)),
+           |${mix64StagesSql("lz", "z", "zm", "lm")},
+           |mins AS (
+           |  SELECT id, j,
+           |    MIN(CASE WHEN zm >= 9223372036854775808 THEN zm - $two64 ELSE zm END) AS sig_s
+           |  FROM lm4 GROUP BY id, j),
+           |sigl AS (
+           |  SELECT id, CAST(j // 4 AS INTEGER) AS band,
+           |    list(CASE WHEN sig_s < 0 THEN sig_s + $two64 ELSE sig_s END ORDER BY j) AS sigs
+           |  FROM mins GROUP BY id, j // 4),
+           |buckets AS (
+           |  SELECT id, band, list_reduce(
+           |    list_prepend(CAST(1099511628211 AS HUGEINT) * (band + 1), sigs),
+           |    (h, s) -> ${mix64InlineSql("xor(h, s)")}) AS bucket
+           |  FROM sigl),
+           |cand AS (
+           |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           |  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+           |cnt AS (SELECT id, count(*) AS c FROM sh GROUP BY id),
+           |inter AS (
+           |  SELECT p.id_a, p.id_b, count(*) AS i
+           |  FROM cand p JOIN sh sa ON sa.id = p.id_a JOIN sh sb ON sb.id = p.id_b AND sb.sh = sa.sh
+           |  GROUP BY 1, 2),
+           |jac AS (
+           |  SELECT x.id_a, x.id_b,
+           |    CAST(x.i AS DOUBLE) / CAST(ca.c + cb.c - x.i AS DOUBLE) AS j
+           |  FROM inter x JOIN cnt ca ON ca.id = x.id_a JOIN cnt cb ON cb.id = x.id_b)
+           |SELECT id_a, id_b, CAST(FLOOR(j * 1000) AS BIGINT) AS jaccard_e3
+           |FROM jac WHERE j >= 0.6 ORDER BY id_a, id_b""".stripMargin
+      },
+      // Full hyperplane-LSH mirror: the 128x64 plane weights are splitmix64
+      // derivations scaled by exact powers of two; projection dots fold left
+      // in list order (double), the cosine verify multiplies in FLOAT then
+      // accumulates in DOUBLE — both matching the Scala loops' IEEE ops
+      // exactly, so floor(cos*1e6) is bit-reproducible.
+      "q17_embed_neardup" -> {
+        val a2 = unsignedLit(0x9e3779b97f4a7c15L)
+        val b2 = unsignedLit(0xc2b2ae3d27d4eb4fL)
+        val c2 = unsignedLit(0x165667b19e3779f9L)
+        s"""WITH base AS (
+           |  SELECT vec_id AS id, embedding AS v FROM embeddings),
+           |corpus AS (
+           |  SELECT id, v FROM base
+           |  UNION ALL SELECT id + 900000, v FROM base WHERE id < 20),
+           |parg AS (
+           |  SELECT p, d, ((p * $a2) % $two64 + (d * $b2) % $two64 + $c2) % $two64 AS h
+           |  FROM (SELECT unnest(range(0, 128)) AS p) CROSS JOIN (SELECT unnest(range(0, 64)) AS d)),
+           |${mix64StagesSql("parg", "h", "z", "pm")},
+           |plw AS (
+           |  SELECT p, list((CAST(z // 2048 AS DOUBLE) / 9007199254740992.0) * 2.0 - 1.0 ORDER BY d) AS w
+           |  FROM pm4 GROUP BY p),
+           |dots AS (
+           |  SELECT c.id, pw.p, list_reduce(
+           |    list_prepend(CAST(0.0 AS DOUBLE),
+           |      list_transform(list_zip(CAST(c.v AS DOUBLE[]), pw.w), x -> x[1] * x[2])),
+           |    (a, b) -> a + b) AS dot
+           |  FROM corpus c CROSS JOIN plw pw),
+           |buckets AS (
+           |  SELECT id, CAST(p // 16 AS INTEGER) AS band,
+           |    SUM(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << CAST(p % 16 AS INTEGER) ELSE 0 END) AS bucket
+           |  FROM dots GROUP BY 1, 2),
+           |cand AS (
+           |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           |  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+           |norms AS (
+           |  SELECT id, list_reduce(
+           |    list_prepend(CAST(0.0 AS DOUBLE),
+           |      list_transform(list_zip(v, v), x -> x[1] * x[2])),
+           |    (a, b) -> a + b) AS nn
+           |  FROM corpus),
+           |cos AS (
+           |  SELECT p.id_a, p.id_b,
+           |    CASE WHEN na.nn = 0 OR nb.nn = 0 THEN 0.0
+           |         ELSE list_reduce(
+           |           list_prepend(CAST(0.0 AS DOUBLE),
+           |             list_transform(list_zip(ca.v, cb.v), x -> x[1] * x[2])),
+           |           (a, b) -> a + b) / sqrt(na.nn * nb.nn) END AS c
+           |  FROM cand p
+           |  JOIN corpus ca ON ca.id = p.id_a JOIN corpus cb ON cb.id = p.id_b
+           |  JOIN norms na ON na.id = p.id_a JOIN norms nb ON nb.id = p.id_b)
+           |SELECT id_a, id_b, CAST(FLOOR(c * 1000000) AS BIGINT) AS cos_e6
+           |FROM cos WHERE c >= 0.999 ORDER BY id_a, id_b""".stripMargin
+      }
     )
   }
 }
