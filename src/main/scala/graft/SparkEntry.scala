@@ -686,8 +686,71 @@ object SparkEntry {
           col("mean_b").cast("long").as("mean_b"),
           col("decode_ok"))
         .orderBy("doc_id", "frame_idx")
+    }),
+
+    // ---- PII scrubbing (emails / phones / IPv4): detection counts + the
+    // redacted text itself, with deterministic planted PII. Lookahead-free
+    // patterns shared verbatim with the oracle (the q45 RE2 precedent);
+    // pure regexp builtins — codegen'd, map-side, no shuffle ----
+    "q49_redact" -> ((s, dir) => {
+      import vps.text.Redact
+      val pii = docsT(s, dir).select(col("doc_id"),
+        concat(lit("reach doc"), col("doc_id").cast("string"),
+          lit("@example.com or +1-555-"),
+          lpad((col("doc_id") * 7 % 10000).cast("string"), 4, "0"),
+          lit(" at 10."), (col("doc_id") % 256).cast("string"), lit(".0.1 "),
+          col("text")).as("t"))
+      pii.select(col("doc_id"),
+          Redact.countEmails(col("t")).cast("long").as("n_email"),
+          Redact.countPhones(col("t")).cast("long").as("n_phone"),
+          Redact.countIps(col("t")).cast("long").as("n_ip"),
+          Redact.redact(col("t")).as("redacted"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- benchmark decontamination: training docs sharing any distinct
+    // 13-char-gram with an eval set (every 50th doc here). Eval gram hashes
+    // broadcast; train side is a map-side explode + semi-probe — the only
+    // shuffle aggregates hit rows. Same shingle pipeline as MinHash, so the
+    // oracle replays it in splitmix64-HUGEINT SQL ----
+    "q51_decontam" -> ((s, dir) => {
+      val docs = docsT(s, dir)
+      val eval = docs.where(col("doc_id") % 50 === 0).select(col("text"))
+      vps.ml.Decontam.contaminatedDocs(docs, eval, idCol = "doc_id", textCol = "text", n = 13)
+        .select(col("id").as("doc_id"), col("n_hits"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- greedy sequence packing: documents -> fixed-token-budget training
+    // sequences, bucket-parallel (id-range buckets; global greedy is
+    // order-serial by definition). Result is a pure function of
+    // (id, tokens) — partitioning/cluster-size independent — so DuckDB
+    // replays the identical greedy walk with a recursive CTE ----
+    "q50_packing" -> ((s, dir) => {
+      val docs = docsT(s, dir).select(col("doc_id"),
+        token_count(col("text")).cast("long").as("n_tokens"))
+      vps.ml.Packing.packGreedy(docs, "doc_id", "n_tokens", maxTokens = 256L, bucketSize = 64L)
+        .select(col("id").as("doc_id"), col("bucket"), col("seq_idx"), col("t_offset"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- deterministic train/val/test split + seed-stable subsample: the
+    // split and the sample flag are pure functions of (doc_id, salt)
+    // (splitmix64 -> [0,1)), so the holdout reproduces across runs,
+    // partitionings, and cluster sizes — and DuckDB recomputes both
+    // bit-for-bit. Map-side only: no shuffle, no driver state ----
+    "q48_split" -> ((s, dir) => {
+      vps.ml.Sampling.assignSplits(docsT(s, dir), "doc_id", q48Splits)
+        .select(col("doc_id"), col("split"),
+          (vps.ml.Sampling.uniform(col("doc_id"), salt = 7L) < lit(0.1)).as("in_10pct"))
+        .orderBy("doc_id")
     })
   )
+
+  /** q48's named fractions — shared with the oracle so both sides compare
+    * against the IDENTICAL cumulative-sum doubles.
+    */
+  private val q48Splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
   // ------------------------------------------------------------------
   // DuckDB oracles. Tables are registered by name over the same sf dir.
@@ -1397,6 +1460,91 @@ object SparkEntry {
            |  JOIN norms na ON na.id = p.id_a JOIN norms nb ON nb.id = p.id_b)
            |SELECT id_a, id_b, CAST(FLOOR(c * 1000000) AS BIGINT) AS cos_e6
            |FROM cos WHERE c >= 0.999 ORDER BY id_a, id_b""".stripMargin
+      },
+      // Deterministic split/sample mirror: splitmix64(doc_id ^ salt) >> 11
+      // scaled by 2^-53 (exact power-of-two scaling), compared against the
+      // Scala-side cumulative cut points interpolated verbatim.
+      "q48_split" -> {
+        val cuts = vps.ml.Sampling.cumulativeCuts(q48Splits)
+        s"""WITH d0 AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS h FROM documents),
+           |${mix64StagesSql("d0", "h", "z0", "sa")},
+           |d7 AS (SELECT doc_id, z0, xor(CAST(doc_id AS HUGEINT), 7) AS h2 FROM sa4),
+           |${mix64StagesSql("d7", "h2", "z7", "sb")},
+           |u AS (SELECT doc_id,
+           |  CAST(z0 // 2048 AS DOUBLE) / 9007199254740992.0 AS u0,
+           |  CAST(z7 // 2048 AS DOUBLE) / 9007199254740992.0 AS u7 FROM sb4)
+           |SELECT doc_id,
+           |  CASE WHEN u0 < ${cuts(0)._2} THEN '${cuts(0)._1}'
+           |       WHEN u0 < ${cuts(1)._2} THEN '${cuts(1)._1}'
+           |       ELSE '${cuts(2)._1}' END AS split,
+           |  u7 < 0.1 AS in_10pct
+           |FROM u ORDER BY doc_id""".stripMargin
+      },
+      // PII mirror: the SAME lookahead-free patterns (shared constants), the
+      // same planted concatenation, the same email -> phone -> IP replace
+      // order; counts run on the pre-redaction text on both sides.
+      "q49_redact" -> {
+        import vps.text.Redact._
+        s"""WITH pii AS (
+           |  SELECT doc_id,
+           |    'reach doc' || doc_id || '@example.com or +1-555-' ||
+           |    lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') ||
+           |    ' at 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 ' || text AS t
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(length(regexp_extract_all(t, '$EmailPattern')) AS BIGINT) AS n_email,
+           |  CAST(length(regexp_extract_all(t, '$PhonePattern')) AS BIGINT) AS n_phone,
+           |  CAST(length(regexp_extract_all(t, '$Ipv4Pattern')) AS BIGINT) AS n_ip,
+           |  regexp_replace(regexp_replace(regexp_replace(t,
+           |    '$EmailPattern', '$EmailToken', 'g'),
+           |    '$PhonePattern', '$PhoneToken', 'g'),
+           |    '$Ipv4Pattern', '$IpToken', 'g') AS redacted
+           |FROM pii ORDER BY doc_id""".stripMargin
+      },
+      // Packing mirror: identical ws-token counts (the q45 formula), then the
+      // same greedy walk replayed one row per recursion step within each
+      // bucket (row_number joins make it a linear scan, bucketSize=64 steps).
+      "q50_packing" ->
+        """WITH RECURSIVE toks AS (
+          |  SELECT doc_id,
+          |    CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+          |         ELSE CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT)
+          |    END AS tok,
+          |    doc_id // 64 AS bucket
+          |  FROM documents),
+          |o AS (SELECT doc_id, tok, bucket,
+          |        row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+          |      FROM toks),
+          |walk AS (
+          |  SELECT bucket, rn, doc_id,
+          |    CAST(0 AS BIGINT) AS seq_idx, CAST(0 AS BIGINT) AS t_offset, tok AS cum
+          |  FROM o WHERE rn = 1
+          |  UNION ALL
+          |  SELECT o.bucket, o.rn, o.doc_id,
+          |    CASE WHEN w.cum > 0 AND w.cum + o.tok > 256 THEN w.seq_idx + 1 ELSE w.seq_idx END,
+          |    CASE WHEN w.cum > 0 AND w.cum + o.tok > 256 THEN 0 ELSE w.cum END,
+          |    CASE WHEN w.cum > 0 AND w.cum + o.tok > 256 THEN o.tok ELSE w.cum + o.tok END
+          |  FROM walk w JOIN o ON o.bucket = w.bucket AND o.rn = w.rn + 1)
+          |SELECT doc_id, bucket, seq_idx, t_offset FROM walk ORDER BY doc_id""".stripMargin,
+      // Decontamination mirror: identical 13-gram rolling-hash+splitmix64
+      // pipeline (the q15 shingle machinery at n=13), distinct per doc, eval
+      // set = every 50th doc, inner join + count.
+      "q51_decontam" -> {
+        val poly13 = (1 until 13).foldLeft("cp[i]") { (acc, k) =>
+          s"(($acc) * 1315423911 + cp[i+$k]) % $two64"
+        }
+        s"""WITH cps AS (
+           |  SELECT doc_id, list_transform(string_split(text, ''), c -> CAST(unicode(c) AS HUGEINT)) AS cp,
+           |    length(text) AS n FROM documents),
+           |w0 AS (
+           |  SELECT doc_id, $poly13 AS h
+           |  FROM (SELECT doc_id, cp, unnest(range(1, greatest(n - 11, 1))) AS i FROM cps)),
+           |${mix64StagesSql("w0", "h", "g", "dm")},
+           |grams AS (SELECT DISTINCT doc_id, g FROM dm4),
+           |eg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+           |FROM grams JOIN eg USING (g)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin
       }
     )
   }

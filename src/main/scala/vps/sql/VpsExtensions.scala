@@ -16,7 +16,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * [[vps.sql.functions.register]].
   */
 class VpsExtensions extends (SparkSessionExtensions => Unit) {
-  import vps.text.{ArrayPairs, CollectCapped, CosineSim, DocFingerprint, LangId, MinHashBands, NgramJaccard, SimHash64}
+  import vps.text.{ArrayPairs, CharShingles, CollectCapped, CosineSim, DocFingerprint, HashUniform, LangId, MinHashBands, NgramJaccard, SimHash64}
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     vps.geom.Geo.registerUDTs()
@@ -59,6 +59,8 @@ class VpsExtensions extends (SparkSessionExtensions => Unit) {
     inject("doc_fingerprint", e => DocFingerprint(e(0)))
     inject("lang_id", e => LangId(e(0)))
     inject("cosine_sim", e => CosineSim(e(0), e(1)))
+    inject("hash_uniform", e => HashUniform(e(0), e(1)))
+    inject("char_shingles", e => CharShingles(e(0), e(1)))
     inject("array_pairs", e => ArrayPairs(e(0)))
     // bounded collect_list (cap must be a foldable integer literal)
     inject("collect_capped", e => {

@@ -3,7 +3,7 @@ package vps.text
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -141,6 +141,13 @@ object TextOps {
     inter.toDouble / (sa.length + sb.length - inter)
   }
 
+  /** splitmix64(v ^ salt) >>> 11 scaled by 2^-53: uniform in [0,1), a PURE
+    * FUNCTION of (v, salt). Public static forwarder — whole-stage codegen
+    * calls it directly (see [[HashUniform]]).
+    */
+  def hashUniform(v: Long, salt: Long): Double =
+    (mix64(v ^ salt) >>> 11) * (1.0 / (1L << 53))
+
   /** Rolling-hash fingerprint of the full document (winnowing-free baseline). */
   def fingerprint(s: String): Long = {
     if (s == null) return 0L
@@ -242,6 +249,22 @@ case class NgramJaccard(first: Expression, second: Expression, third: Expression
       n.asInstanceOf[Int])
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
     copy(f, s, t)
+}
+
+/** Distinct sorted char n-gram hashes (array<long>) — the exact-overlap key
+  * set behind [[vps.ml.Decontam]]; same rolling-hash+splitmix64 pipeline as
+  * MinHash shingles, so the SQL oracle mirrors it with the established
+  * HUGEINT builders.
+  */
+case class CharShingles(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback with org.apache.spark.sql.vps.VpsImplicitCasts {
+  override protected def coerceTo: Seq[DataType] = Seq(StringType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(s: Any, n: Any): Any =
+    new GenericArrayData(TextOps.sortedShingles(
+      s.asInstanceOf[UTF8String].toString, n.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
 }
 
 case class DocFingerprint(child: Expression) extends UnaryExpression with CodegenFallback {
@@ -524,10 +547,33 @@ case class CosineSim(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
+/** splitmix64(id ^ salt) scaled to [0,1) — the deterministic uniform behind
+  * [[vps.ml.Sampling]]. A pure function of the row's identity, so samples and
+  * splits reproduce across runs, partitionings, and cluster sizes (unlike
+  * `df.sample`, which is partition-order dependent). Real codegen via the
+  * public static forwarder, so the hosting scan stays inside whole-stage
+  * codegen (the CodegenFallback marker alone would evict it).
+  */
+case class HashUniform(left: Expression, right: Expression)
+    extends BinaryExpression with org.apache.spark.sql.vps.VpsImplicitCasts {
+  override protected def coerceTo: Seq[DataType] = Seq(LongType, LongType)
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(v: Any, s: Any): Any =
+    TextOps.hashUniform(v.asInstanceOf[Long], s.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, s) => s"vps.text.TextOps.hashUniform($v, $s)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
 object functions {
   import org.apache.spark.sql.functions._
   import org.apache.spark.sql.vps.ColumnBridge.{column => c, expression => ex}
 
+  def hash_uniform(id: Column, salt: Long): Column =
+    c(HashUniform(ex(id), ex(lit(salt))))
+  def char_shingles(text: Column, n: Int): Column =
+    c(CharShingles(ex(text), ex(lit(n))))
   def minhash_sig(text: Column, numHashes: Int, shingle: Int): Column =
     c(MinHashSig(ex(text), ex(lit(numHashes)), ex(lit(shingle))))
   def minhash_bands(text: Column, numHashes: Int, bands: Int, shingle: Int): Column =
