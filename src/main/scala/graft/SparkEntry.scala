@@ -708,6 +708,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- composed quality gate: the single keep/drop decision a
+    // pre-training pipeline runs — token bounds, duplicate-5-gram
+    // repetition, language allowlist, PII density, fixed rule order,
+    // first-failing reason. One codegen'd map-side scan; every rule
+    // mirrored exactly by the oracle (q22/q45/q46/q49 fragments) ----
+    "q52_quality_gate" -> ((s, dir) => {
+      vps.text.QualityGate.gate(docsT(s, dir))
+        .orderBy("doc_id")
+    }),
+
     // ---- benchmark decontamination: training docs sharing any distinct
     // 13-char-gram with an eval set (every 50th doc here). Eval gram hashes
     // broadcast; train side is a map-side explode + semi-probe — the only
@@ -1545,6 +1555,56 @@ object SparkEntry {
            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
            |FROM grams JOIN eg USING (g)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      },
+      // Quality-gate mirror: ws tokens (q45 fragment), duplicate-5-gram
+      // repetition (q46 fragment, raw double), stopword-argmax langid (q22
+      // fragment, per doc), PII counts (q49 patterns on the raw text), then
+      // the identical first-failing CASE — thresholds are raw doubles, so
+      // the IEEE compares match bit-for-bit.
+      "q52_quality_gate" -> {
+        import vps.text.Redact._
+        s"""WITH feats AS (
+           |  SELECT doc_id,
+           |    CASE WHEN length(trim(text)) = 0 THEN 0
+           |         ELSE length(string_split_regex(trim(text), '\\s+')) END AS toks,
+           |    CASE WHEN length(text) - 4 <= 0 THEN 0.0
+           |         ELSE 1.0 - CAST(len(list_distinct(list_transform(
+           |                generate_series(1, length(text) - 4),
+           |                i -> substr(text, i, 5)))) AS DOUBLE)
+           |              / (length(text) - 4) END AS rep5,
+           |    CAST(length(regexp_extract_all(text, '$EmailPattern'))
+           |       + length(regexp_extract_all(text, '$PhonePattern'))
+           |       + length(regexp_extract_all(text, '$Ipv4Pattern')) AS DOUBLE)
+           |      * 1000.0 / CAST(length(text) AS DOUBLE) AS pii,
+           |    list_slice(string_split_regex(lower(text), '\\s+'), 1, 500) AS tk
+           |  FROM documents),
+           |scores AS (
+           |  SELECT *,
+           |    len(list_filter(tk, t -> t IN ('the','and','of','to','in','is','that','it','for','with','was','on'))) AS s_en,
+           |    len(list_filter(tk, t -> t IN ('el','la','de','que','y','en','los','del','las','por','un','para'))) AS s_es,
+           |    len(list_filter(tk, t -> t IN ('der','die','und','das','von','zu','mit','den','im','für','ist','des'))) AS s_de,
+           |    len(list_filter(tk, t -> t IN ('le','la','les','de','des','et','en','un','une','du','que','est'))) AS s_fr,
+           |    len(list_filter(tk, t -> t IN ('il','di','che','la','per','non','con','una','del','gli','più','nel'))) AS s_it
+           |  FROM feats),
+           |lang AS (
+           |  SELECT *, CASE
+           |    WHEN greatest(s_en,s_es,s_de,s_fr,s_it) = 0 THEN 'und'
+           |    WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_it THEN 'en'
+           |    WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_it THEN 'es'
+           |    WHEN s_de >= s_fr AND s_de >= s_it THEN 'de'
+           |    WHEN s_fr >= s_it THEN 'fr'
+           |    ELSE 'it' END AS lg
+           |  FROM scores),
+           |gate AS (
+           |  SELECT doc_id, CASE
+           |    WHEN toks < 20 THEN 'too_short'
+           |    WHEN toks > 90 THEN 'too_long'
+           |    WHEN rep5 >= 0.25 THEN 'repetitive'
+           |    WHEN lg NOT IN ('en') THEN 'lang'
+           |    WHEN pii >= 2.0 THEN 'pii'
+           |    ELSE 'ok' END AS reason
+           |  FROM lang)
+           |SELECT doc_id, reason, reason = 'ok' AS keep FROM gate ORDER BY doc_id""".stripMargin
       }
     )
   }
