@@ -92,6 +92,23 @@ object ExplainCheck {
     println(s"[check] ${if (rHash == 1) "PASS" else s"MISS ($rHash)"}: exactly one hash Exchange (the tile key)")
     println(s"[check] ${if (partialBurn) "PASS" else "MISS"}: partial_gridburn below the exchange (map-side grids)")
 
+    // 8) deterministic split: the scan prunes to the id column (the split is
+    // a pure function of doc_id — reading text would be a wasted 100-TB scan)
+    val splitDf = vps.ml.Sampling.assignSplits(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id",
+      Seq("train" -> 0.9, "val" -> 0.1))
+      .select("doc_id", "split")
+    audit("hash-split column pruning", splitDf,
+      Seq("ReadSchema: struct<doc_id:bigint>", "*(1)"))
+
+    // 9) decontamination: the eval gram set broadcasts; the train side
+    // stays map-side up to the per-doc hit count
+    val docsTbl = spark.read.parquet(s"$sfDir/documents.parquet")
+    val decon = vps.ml.Decontam.contaminatedDocs(
+      docsTbl, docsTbl.where(col("doc_id") % 50 === 0).select(col("text")),
+      idCol = "doc_id")
+    audit("decontam broadcast probe", decon, Seq("BroadcastHashJoin"))
+
     spark.stop()
   }
 }
