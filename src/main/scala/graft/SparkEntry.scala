@@ -708,6 +708,39 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- URL extraction + registered-domain + per-domain frequency cap:
+    // the C4/RefinedWeb-style hot-domain downsample. URL text is derived
+    // deterministically from (source, doc_id) — the oracle rebuilds the
+    // identical strings — and the cap runs through the bounded-min-heap
+    // aggregate (map-side partial state <= cap pairs per domain), proven
+    // equal to the window form by UrlOpsSpec ----
+    "q53_url_domain_cap" -> ((s, dir) => {
+      import vps.text.UrlOps
+      val urls = docsT(s, dir).select(col("doc_id"),
+        concat(lit("visit https://www."), col("source"), lit(".co.uk/d/"),
+          col("doc_id").cast("string"), lit(" or http://img."), col("source"),
+          lit(".net/x?id="), col("doc_id").cast("string")).as("t"))
+        .select(col("doc_id"),
+          posexplode(UrlOps.extractUrls(col("t"))).as(Seq("url_pos", "url")))
+        .select(col("doc_id"), col("url_pos").cast("long").as("url_pos"),
+          (col("doc_id") * 8 + col("url_pos")).as("rid"),
+          UrlOps.registeredDomain(UrlOps.urlHost(col("url"))).as("domain"))
+      UrlOps.domainCap(urls, "domain", "rid", cap = 15, salt = 11L)
+        .select(col("domain"), col("doc_id"), col("url_pos"))
+        .orderBy("domain", "doc_id", "url_pos")
+    }),
+
+    // ---- corpus-global top-k vocabulary: (doc,term) rollup with map-side
+    // partial combine, vocabulary-sized term rollup, TakeOrdered top-k;
+    // the rank window only sees the k survivors ----
+    "q54_vocab_topk" -> ((s, dir) => {
+      import vps.text.Vocab
+      val dt = Vocab.docTermCounts(docsT(s, dir), "doc_id", "text")
+      Vocab.topK(Vocab.termStats(dt, "doc_id"), 100)
+        .select(col("term"), col("df"), col("tf_total"), col("rank"))
+        .orderBy("rank")
+    }),
+
     // ---- composed quality gate: the single keep/drop decision a
     // pre-training pipeline runs — token bounds, duplicate-5-gram
     // repetition, language allowlist, PII density, fixed rule order,
@@ -1369,7 +1402,10 @@ object SparkEntry {
       // fold equals the rolling recurrence exactly), 64 splitmix64 lanes with
       // SIGNED mins (Java Long compare), 16 chained band hashes, in-bucket
       // pairs, and the exact distinct-shingle Jaccard verify — floor(j*1000)
-      // reproduces the IEEE double division bit-for-bit.
+      // reproduces the IEEE double division bit-for-bit. Lane mixes are
+      // computed once per GLOBALLY-distinct shingle hash (shd) and joined
+      // back — a pure function of sh, so mins are unchanged; 5x less mulmod
+      // work on the corpus-sized lane stream (30 s -> 6 s at sf0.01).
       "q15_minhash_lsh" -> {
         val laneC = unsignedLit(0xa54ff53a5f1d36f1L)
         val poly = (1 until 5).foldLeft("cp[i]") { (acc, k) =>
@@ -1386,14 +1422,18 @@ object SparkEntry {
            |  FROM (SELECT id, cp, unnest(range(1, greatest(n - 3, 1))) AS i FROM cps)),
            |${mix64StagesSql("w0", "h", "sh", "wm")},
            |sh AS (SELECT DISTINCT id, sh FROM wm4),
+           |shd AS (SELECT DISTINCT sh FROM sh),
            |lz AS (
-           |  SELECT id, j, xor(sh, (j * $laneC) % $two64) AS z
-           |  FROM sh CROSS JOIN (SELECT unnest(range(0, 64)) AS j)),
+           |  SELECT sh, j, xor(sh, (j * $laneC) % $two64) AS z
+           |  FROM shd CROSS JOIN (SELECT unnest(range(0, 64)) AS j)),
            |${mix64StagesSql("lz", "z", "zm", "lm")},
+           |lv AS (
+           |  SELECT sh, j,
+           |    CASE WHEN zm >= 9223372036854775808 THEN zm - $two64 ELSE zm END AS v
+           |  FROM lm4),
            |mins AS (
-           |  SELECT id, j,
-           |    MIN(CASE WHEN zm >= 9223372036854775808 THEN zm - $two64 ELSE zm END) AS sig_s
-           |  FROM lm4 GROUP BY id, j),
+           |  SELECT s.id, l.j, MIN(l.v) AS sig_s
+           |  FROM sh s JOIN lv l ON l.sh = s.sh GROUP BY 1, 2),
            |sigl AS (
            |  SELECT id, CAST(j // 4 AS INTEGER) AS band,
            |    list(CASE WHEN sig_s < 0 THEN sig_s + $two64 ELSE sig_s END ORDER BY j) AS sigs
@@ -1561,6 +1601,61 @@ object SparkEntry {
       // fragment, per doc), PII counts (q49 patterns on the raw text), then
       // the identical first-failing CASE — thresholds are raw doubles, so
       // the IEEE compares match bit-for-bit.
+      // URL cap mirror: identical synthetic URL text, the same lookahead-free
+      // patterns (shared constants), the same registered-domain case logic,
+      // and the cap in its window form (the heap aggregate is spec-proven
+      // equal) ordered by the same splitmix64 uniform over rid ^ salt.
+      "q53_url_domain_cap" -> {
+        import vps.text.UrlOps._
+        val suffixes = SecondLevelSuffixes.map(s => s"'$s'").mkString(", ")
+        s"""WITH t AS (
+           |  SELECT doc_id,
+           |    'visit https://www.' || source || '.co.uk/d/' || CAST(doc_id AS VARCHAR) ||
+           |    ' or http://img.' || source || '.net/x?id=' || CAST(doc_id AS VARCHAR) AS t
+           |  FROM documents),
+           |ex AS (
+           |  SELECT doc_id,
+           |    unnest(range(len(regexp_extract_all(t, '$UrlPattern')))) AS url_pos,
+           |    unnest(regexp_extract_all(t, '$UrlPattern')) AS url
+           |  FROM t),
+           |dom AS (
+           |  SELECT doc_id, url_pos, doc_id * 8 + url_pos AS rid,
+           |    CASE WHEN len(parts) >= 3 AND length(parts[-1]) = 2
+           |              AND parts[-2] IN ($suffixes)
+           |           THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
+           |         WHEN len(parts) >= 2 THEN parts[-2] || '.' || parts[-1]
+           |         ELSE host END AS domain
+           |  FROM (SELECT doc_id, url_pos,
+           |          regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) AS host,
+           |          string_split(regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1), '.') AS parts
+           |        FROM ex)),
+           |h0 AS (SELECT *, xor(CAST(rid AS HUGEINT), 11) AS h FROM dom),
+           |${mix64StagesSql("h0", "h", "z", "hm")},
+           |uu AS (SELECT doc_id, url_pos, rid, domain,
+           |  CAST(z // 2048 AS DOUBLE) / 9007199254740992.0 AS u FROM hm4)
+           |SELECT domain, doc_id, url_pos FROM uu
+           |QUALIFY row_number() OVER (PARTITION BY domain ORDER BY u, rid) <= 15
+           |ORDER BY domain, doc_id, url_pos""".stripMargin
+      },
+      // Vocabulary mirror: identical single-space tokenization (lowercased,
+      // empties dropped), the same (df desc, tf_total desc, term) total
+      // order, rank over the survivors.
+      "q54_vocab_topk" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+           |  FROM documents),
+           |dt AS (
+           |  SELECT doc_id, term, count(*) AS tf FROM tok
+           |  WHERE term <> '' GROUP BY 1, 2),
+           |st AS (
+           |  SELECT term, CAST(count(*) AS BIGINT) AS df,
+           |    CAST(sum(tf) AS BIGINT) AS tf_total
+           |  FROM dt GROUP BY 1),
+           |rk AS (
+           |  SELECT term, df, tf_total,
+           |    CAST(row_number() OVER (ORDER BY df DESC, tf_total DESC, term) AS BIGINT) AS rank
+           |  FROM st)
+           |SELECT term, df, tf_total, rank FROM rk WHERE rank <= 100 ORDER BY rank""".stripMargin,
       "q52_quality_gate" -> {
         import vps.text.Redact._
         s"""WITH feats AS (

@@ -322,6 +322,139 @@ object CollectCapped {
   final class Buffer(var overflowed: Boolean, var n: Int, var vals: Array[Long])
 }
 
+object KeepSmallest {
+  /** Binary max-heap over `(keyBits, id)` pairs (lexicographic; keyBits is
+    * `doubleToRawLongBits` of a non-negative double, which is order-
+    * preserving). Root = largest kept pair, so a better candidate replaces
+    * the root in O(log cap).
+    */
+  final class Buffer(var n: Int, var keys: Array[Long], var ids: Array[Long]) {
+    @inline private def gt(k1: Long, i1: Long, k2: Long, i2: Long): Boolean =
+      k1 > k2 || (k1 == k2 && i1 > i2)
+
+    private def siftDown(i0: Int): Unit = {
+      var i = i0
+      while (true) {
+        val l = 2 * i + 1
+        val r = l + 1
+        var m = i
+        if (l < n && gt(keys(l), ids(l), keys(m), ids(m))) m = l
+        if (r < n && gt(keys(r), ids(r), keys(m), ids(m))) m = r
+        if (m == i) return
+        val tk = keys(i); keys(i) = keys(m); keys(m) = tk
+        val ti = ids(i); ids(i) = ids(m); ids(m) = ti
+        i = m
+      }
+    }
+
+    def offer(cap: Int, key: Long, id: Long): Unit = {
+      if (n < cap) {
+        keys(n) = key; ids(n) = id
+        n += 1
+        var i = n - 1 // sift up
+        while (i > 0) {
+          val p = (i - 1) / 2
+          if (gt(keys(i), ids(i), keys(p), ids(p))) {
+            val tk = keys(i); keys(i) = keys(p); keys(p) = tk
+            val ti = ids(i); ids(i) = ids(p); ids(p) = ti
+            i = p
+          } else i = 0
+        }
+      } else if (gt(keys(0), ids(0), key, id)) {
+        keys(0) = key; ids(0) = id
+        siftDown(0)
+      }
+    }
+  }
+}
+
+/** Bounded top-k-smallest aggregate: keeps the `cap` pairs `(key, id)` with
+  * the smallest `(key, id)` per group and evaluates to the kept ids sorted by
+  * that order. The per-domain frequency-cap core ([[vps.text.UrlOps]]): state
+  * is a fixed max-heap of `cap` pairs, partial aggregation combines map-side,
+  * so a domain with 10^9 documents costs O(cap) memory per map partition and
+  * O(cap) bytes on the wire — no reducer ever sees the hot domain's rows.
+  * Deterministic: the kept set depends only on the group's (key, id) multiset,
+  * never on partitioning (ties on key break by id).
+  */
+case class KeepSmallest(
+    key: Expression,
+    id: Expression,
+    cap: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[KeepSmallest.Buffer]
+    with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+  import KeepSmallest.Buffer
+  require(cap > 0, "keep_smallest: cap must be positive")
+
+  override def left: Expression = key
+  override def right: Expression = id
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (key.dataType == DoubleType && id.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"keep_smallest needs (double key, bigint id), got (${key.dataType}, ${id.dataType})")
+  }
+
+  override def createAggregationBuffer(): Buffer =
+    new Buffer(0, new Array[Long](cap), new Array[Long](cap))
+
+  override def update(b: Buffer, input: InternalRow): Buffer = {
+    val k = key.eval(input)
+    val i = id.eval(input)
+    if (k != null && i != null) {
+      // non-negative doubles compare identically to their raw bit patterns
+      val kb = java.lang.Double.doubleToRawLongBits(k.asInstanceOf[Double])
+      b.offer(cap, kb, i.asInstanceOf[Long])
+    }
+    b
+  }
+
+  override def merge(b: Buffer, o: Buffer): Buffer = {
+    var i = 0
+    while (i < o.n) { b.offer(cap, o.keys(i), o.ids(i)); i += 1 }
+    b
+  }
+
+  override def eval(b: Buffer): Any = {
+    val idx = Array.range(0, b.n).sortWith { (x, y) =>
+      b.keys(x) < b.keys(y) || (b.keys(x) == b.keys(y) && b.ids(x) < b.ids(y))
+    }
+    val out = new Array[Long](b.n)
+    var i = 0
+    while (i < b.n) { out(i) = b.ids(idx(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(b: Buffer): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + b.n * 16)
+    bb.putInt(b.n)
+    var i = 0
+    while (i < b.n) { bb.putLong(b.keys(i)); bb.putLong(b.ids(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val keys = new Array[Long](math.max(n, cap))
+    val ids = new Array[Long](math.max(n, cap))
+    var i = 0
+    while (i < n) { keys(i) = bb.getLong(); ids(i) = bb.getLong(); i += 1 }
+    new Buffer(n, keys, ids)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KeepSmallest =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KeepSmallest =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(key = l, id = r)
+}
+
 /** Bounded collect_list: gathers at most `cap` elements per group and
   * evaluates to NULL once the group exceeds the cap — the buffer is freed at
   * overflow, so a mega-duplicate class (one LSH bucket holding millions of
@@ -593,6 +726,8 @@ object functions {
   /** Bounded collect_list (bigint / struct-of-bigint elements): NULL once the
     * group exceeds `cap`, with O(cap) aggregation state everywhere.
     */
+  def keep_smallest(key: Column, id: Column, cap: Int): Column =
+    c(KeepSmallest(ex(key), ex(id), cap).toAggregateExpression())
   def collect_capped(e: Column, cap: Int): Column =
     c(CollectCapped(ex(e), cap).toAggregateExpression())
   /** Keep bucket rows with >= `minSize` elements; count NULL (capped-out)

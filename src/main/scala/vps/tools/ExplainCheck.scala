@@ -109,6 +109,23 @@ object ExplainCheck {
       idCol = "doc_id")
     audit("decontam broadcast probe", decon, Seq("BroadcastHashJoin"))
 
+    // 10) domain cap: the kept-id set comes back as a BROADCAST semi-join
+    // (never a corpus shuffle), and the heap aggregate runs partial+final
+    val domains = docsTbl.select(col("doc_id"), col("source").as("domain"))
+    val capped = vps.text.UrlOps.domainCap(domains, "domain", "doc_id", cap = 10)
+    capped.collect()
+    val cPlan = capped.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    println(s"\n========== domain cap (heap agg + broadcast semi-join) ==========")
+    println(s"[check] ${if (cPlan.contains("BroadcastHashJoin") && cPlan.contains("LeftSemi")) "PASS" else "MISS"}: broadcast left-semi join-back")
+    val nObj = "ObjectHashAggregate".r.findAllIn(cPlan).length
+    println(s"[check] ${if (nObj >= 2) "PASS" else s"MISS ($nObj)"}: partial+final keep_smallest aggregation")
+
+    // 11) vocab top-k: TakeOrderedAndProject (bounded heaps, no global sort),
+    // map-side partial agg on the exploded token stream
+    val topk = vps.text.Vocab.topK(vps.text.Vocab.termStats(
+      vps.text.Vocab.docTermCounts(docsTbl, "doc_id", "text"), "doc_id"), 100)
+    audit("vocab top-k", topk, Seq("TakeOrderedAndProject", "HashAggregate"))
+
     spark.stop()
   }
 }
