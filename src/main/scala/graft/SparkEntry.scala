@@ -741,6 +741,22 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // ---- winnowing fingerprints (Schleimer et al. SIGMOD'03): substring-
+    // level local fingerprinting — each window of w=4 consecutive 8-gram
+    // hashes selects its rightmost minimum; per-doc stats fold over the
+    // fingerprint array map-side (no shuffle at all). The oracle re-derives
+    // the selection independently with window MIN + rightmost-argmin SQL ----
+    "q55_winnow" -> ((s, dir) => {
+      val fps = winnow_fingerprints(col("text"), 8, 4)
+      docsT(s, dir).select(col("doc_id"), fps.as("fps"))
+        .where(size(col("fps")) > 0)
+        .select(col("doc_id"),
+          size(col("fps")).cast("long").as("n_fps"),
+          element_at(col("fps"), 1).as("fp_min"),
+          aggregate(col("fps"), lit(0L), (acc, x) => acc.bitwiseXOR(x)).as("fp_xor"))
+        .orderBy("doc_id")
+    }),
+
     // ---- composed quality gate: the single keep/drop decision a
     // pre-training pipeline runs — token bounds, duplicate-5-gram
     // repetition, language allowlist, PII density, fixed rule order,
@@ -1601,6 +1617,43 @@ object SparkEntry {
       // fragment, per doc), PII counts (q49 patterns on the raw text), then
       // the identical first-failing CASE — thresholds are raw doubles, so
       // the IEEE compares match bit-for-bit.
+      // Winnowing mirror: the same polynomial-rolling-hash + splitmix64
+      // 8-gram hashes WITH positions, window MIN over a 4-row frame
+      // (HUGEINT = unsigned order, matching the Scala unsigned compare),
+      // rightmost argmin via a bounded range join, distinct selected hashes,
+      // then signed per-doc count/min/xor.
+      "q55_winnow" -> {
+        val poly8 = (1 until 8).foldLeft("cp[i]") { (acc, k) =>
+          s"(($acc) * 1315423911 + cp[i+$k]) % $two64"
+        }
+        s"""WITH cps AS (
+           |  SELECT doc_id AS id,
+           |    list_transform(string_split(text, ''), c -> CAST(unicode(c) AS HUGEINT)) AS cp,
+           |    length(text) AS n FROM documents),
+           |h0 AS (
+           |  SELECT id, i, $poly8 AS h
+           |  FROM (SELECT id, cp, unnest(range(1, greatest(n - 6, 1))) AS i FROM cps)),
+           |${mix64StagesSql("h0", "h", "hm", "wn")},
+           |hs AS (SELECT id, i, hm AS h FROM wn4),
+           |wmn AS (
+           |  SELECT id, i, h,
+           |    MIN(h) OVER (PARTITION BY id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn,
+           |    COUNT(*) OVER (PARTITION BY id) AS nh
+           |  FROM hs),
+           |starts AS (SELECT id, i AS ws, mn FROM wmn WHERE i <= greatest(nh - 3, 1)),
+           |sel AS (
+           |  SELECT s.id, s.ws, MAX(m.i) AS p
+           |  FROM starts s JOIN hs m
+           |    ON m.id = s.id AND m.i >= s.ws AND m.i <= s.ws + 3 AND m.h = s.mn
+           |  GROUP BY 1, 2),
+           |fps AS (SELECT DISTINCT s.id, h.h FROM sel s JOIN hs h ON h.id = s.id AND h.i = s.p),
+           |sg AS (SELECT id,
+           |  CAST(CASE WHEN h >= 9223372036854775808 THEN h - $two64 ELSE h END AS BIGINT) AS v
+           |  FROM fps)
+           |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_fps,
+           |  MIN(v) AS fp_min, bit_xor(v) AS fp_xor
+           |FROM sg GROUP BY id ORDER BY doc_id""".stripMargin
+      },
       // URL cap mirror: identical synthetic URL text, the same lookahead-free
       // patterns (shared constants), the same registered-domain case logic,
       // and the cap in its window form (the heap aggregate is spec-proven

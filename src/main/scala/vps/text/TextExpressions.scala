@@ -41,6 +41,40 @@ object TextOps {
     out
   }
 
+  /** Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03): over the
+    * position-ordered k-gram hashes, each window of `w` consecutive hashes
+    * selects its minimum (rightmost on ties, UNSIGNED compare — matching the
+    * SQL oracle's HUGEINT order); the distinct selected hashes, sorted
+    * (signed), are the document's fingerprints. Guarantee: any substring
+    * match of length >= k + w - 1 shares at least one fingerprint. Fewer
+    * than `w` hashes form a single truncated window. O(len * w), w is small.
+    */
+  def winnow(s: String, k: Int, w: Int): Array[Long] = {
+    val hs = charShingles(s, k)
+    if (hs.isEmpty) return Array.emptyLongArray
+    val nWin = math.max(hs.length - w + 1, 1)
+    val sel = new java.util.HashSet[Long]()
+    var ws = 0
+    var lastP = -1
+    while (ws < nWin) {
+      val end = math.min(ws + w, hs.length)
+      var p = ws
+      var j = ws + 1
+      while (j < end) {
+        if (java.lang.Long.compareUnsigned(hs(j), hs(p)) <= 0) p = j
+        j += 1
+      }
+      if (p != lastP) { sel.add(hs(p)); lastP = p }
+      ws += 1
+    }
+    val out = new Array[Long](sel.size)
+    val it = sel.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(out)
+    out
+  }
+
   /** MinHash signature over char n-gram shingles: sig(j) = min over shingles of
     * mix64(shingle ^ seed_j). Empty text -> Long.MaxValue lanes.
     */
@@ -265,6 +299,24 @@ case class CharShingles(left: Expression, right: Expression)
       s.asInstanceOf[UTF8String].toString, n.asInstanceOf[Int]))
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(l, r)
+}
+
+/** Winnowing fingerprints ([[TextOps.winnow]]): array<long> of the distinct
+  * selected k-gram hashes, sorted. A per-row kernel (CodegenFallback like the
+  * other text kernels — it allocates arrays either way); the 100-TB shape is
+  * a pure map-side scan: fingerprint statistics fold over the array in-place
+  * and substring-level candidate pairs come from an (id, fp) explode into the
+  * same capped-bucket join the MinHash family uses.
+  */
+case class WinnowFingerprints(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback with org.apache.spark.sql.vps.VpsImplicitCasts {
+  override protected def coerceTo: Seq[DataType] = Seq(StringType, IntegerType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(s: Any, k: Any, w: Any): Any =
+    new GenericArrayData(TextOps.winnow(
+      s.asInstanceOf[UTF8String].toString, k.asInstanceOf[Int], w.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
 }
 
 case class DocFingerprint(child: Expression) extends UnaryExpression with CodegenFallback {
@@ -717,6 +769,8 @@ object functions {
   def ngram_jaccard(a: Column, b: Column, shingle: Int): Column =
     c(NgramJaccard(ex(a), ex(b), ex(lit(shingle))))
   def doc_fingerprint(text: Column): Column = c(DocFingerprint(ex(text)))
+  def winnow_fingerprints(text: Column, k: Int, w: Int): Column =
+    c(WinnowFingerprints(ex(text), ex(lit(k)), ex(lit(w))))
   def lang_id(text: Column): Column = c(LangId(ex(text)))
   def cosine_sim(a: Column, b: Column): Column = c(CosineSim(ex(a), ex(b)))
   def hyperplane_bands(v: Column, bands: Int, rowsPerBand: Int): Column =
