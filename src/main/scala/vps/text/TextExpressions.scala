@@ -53,7 +53,12 @@ object TextOps {
     val hs = charShingles(s, k)
     if (hs.isEmpty) return Array.emptyLongArray
     val nWin = math.max(hs.length - w + 1, 1)
-    val sel = new java.util.HashSet[Long]()
+    // rightmost-tie argmins are non-decreasing across consecutive windows
+    // (a smaller-or-equal hash left of the previous pick would have won the
+    // previous window too), so `p != lastP` admits each position at most
+    // once, in position order — a flat long buffer, no boxed set
+    val sel = new Array[Long](nWin)
+    var nSel = 0
     var ws = 0
     var lastP = -1
     while (ws < nWin) {
@@ -64,15 +69,18 @@ object TextOps {
         if (java.lang.Long.compareUnsigned(hs(j), hs(p)) <= 0) p = j
         j += 1
       }
-      if (p != lastP) { sel.add(hs(p)); lastP = p }
+      if (p != lastP) { sel(nSel) = hs(p); nSel = nSel + 1; lastP = p }
       ws += 1
     }
-    val out = new Array[Long](sel.size)
-    val it = sel.iterator()
-    var i = 0
-    while (it.hasNext) { out(i) = it.next(); i += 1 }
-    java.util.Arrays.sort(out)
-    out
+    // same hash can recur at different positions: sort + in-place dedupe
+    java.util.Arrays.sort(sel, 0, nSel)
+    var wIdx = 1
+    var i = 1
+    while (i < nSel) {
+      if (sel(i) != sel(wIdx - 1)) { sel(wIdx) = sel(i); wIdx += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(sel, if (nSel == 0) 0 else wIdx)
   }
 
   /** MinHash signature over char n-gram shingles: sig(j) = min over shingles of
