@@ -730,13 +730,13 @@ object SparkEntry {
         .orderBy("domain", "doc_id", "url_pos")
     }),
 
-    // ---- corpus-global top-k vocabulary: (doc,term) rollup with map-side
-    // partial combine, vocabulary-sized term rollup, TakeOrdered top-k;
-    // the rank window only sees the k survivors ----
+    // ---- corpus-global top-k vocabulary: the per-doc term rollup happens
+    // IN-ROW (term_counts map), so the only shuffle is the vocabulary-sized
+    // term aggregation; TakeOrdered top-k; the rank window only sees the k
+    // survivors ----
     "q54_vocab_topk" -> ((s, dir) => {
       import vps.text.Vocab
-      val dt = Vocab.docTermCounts(docsT(s, dir), "doc_id", "text")
-      Vocab.topK(Vocab.termStats(dt, "doc_id"), 100)
+      Vocab.topK(Vocab.termStatsFused(docsT(s, dir), "text"), 100)
         .select(col("term"), col("df"), col("tf_total"), col("rank"))
         .orderBy("rank")
     }),

@@ -327,6 +327,47 @@ case class WinnowFingerprints(first: Expression, second: Expression, third: Expr
     copy(a, b, c)
 }
 
+/** Per-document term frequencies in one pass: map<term, count> over the
+  * lowercased single-space tokens (empties dropped) — semantically
+  * `explode + groupBy(doc, term).count` with the corpus-sized exchange
+  * deleted: the per-doc rollup happens in-row, so the only shuffle left in a
+  * vocabulary build is the vocabulary-sized term aggregation
+  * ([[vps.text.Vocab.termStatsFused]]).
+  */
+case class TermCounts(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType =
+    MapType(StringType, LongType, valueContainsNull = false)
+  override def nullSafeEval(s: Any): Any = {
+    // UTF8String.toLowerCase = the lower() builtin's exact semantics
+    val str = s.asInstanceOf[UTF8String].toLowerCase.toString
+    val counts = new java.util.LinkedHashMap[String, Long]()
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      var j = str.indexOf(' ', i)
+      if (j < 0) j = n
+      if (j > i) {
+        val tok = str.substring(i, j)
+        // absent unboxes to 0L; stored counts are always >= 1
+        counts.put(tok, counts.get(tok) + 1L)
+      }
+      i = j + 1
+    }
+    val keys = new Array[Any](counts.size)
+    val vals = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var idx = 0
+    while (it.hasNext) {
+      val e = it.next()
+      keys(idx) = UTF8String.fromString(e.getKey)
+      vals(idx) = e.getValue
+      idx += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayBasedMapData(keys, vals)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 case class DocFingerprint(child: Expression) extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
   override def nullSafeEval(s: Any): Any = TextOps.fingerprint(s.asInstanceOf[UTF8String].toString)
@@ -779,6 +820,7 @@ object functions {
   def doc_fingerprint(text: Column): Column = c(DocFingerprint(ex(text)))
   def winnow_fingerprints(text: Column, k: Int, w: Int): Column =
     c(WinnowFingerprints(ex(text), ex(lit(k)), ex(lit(w))))
+  def term_counts(text: Column): Column = c(TermCounts(ex(text)))
   def lang_id(text: Column): Column = c(LangId(ex(text)))
   def cosine_sim(a: Column, b: Column): Column = c(CosineSim(ex(a), ex(b)))
   def hyperplane_bands(v: Column, bands: Int, rowsPerBand: Int): Column =

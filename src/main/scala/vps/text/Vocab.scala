@@ -36,6 +36,19 @@ object Vocab {
     docTerms.groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"))
 
+  /** [[termStats]] with the corpus-sized `(doc, term)` exchange deleted: the
+    * per-doc rollup happens in-row ([[TextExpressions TermCounts]] map), so
+    * the exploded stream is already one row per (doc, distinct term) and the
+    * ONLY shuffle is the vocabulary-sized term aggregation (map-side partial
+    * combine first). Proven row-equal to the two-exchange form by spec; the
+    * 100-TB default.
+    */
+  def termStatsFused(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(vps.text.functions.term_counts(col(textCol)))
+        .as(Seq("term", "tf")))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"))
+
   /** Top-k vocabulary by (df desc, tf_total desc, term asc), 1-based rank.
     * Order-by + limit compiles to TakeOrderedAndProject; the rank window only
     * ever sees the k surviving rows.

@@ -58,18 +58,22 @@ object TextScaleProbe {
             size(col("fps")).as("n"))
           .agg(sum(col("x")), sum(col("n"))).head()
       }
-      def vocab(): Unit = {
+      def vocab(): Unit = { // two-exchange reference form
         vps.text.Vocab.topK(vps.text.Vocab.termStats(
           vps.text.Vocab.docTermCounts(docs, "id", "text"), "id"), 100).collect()
+      }
+      def vocabFused(): Unit = { // in-row per-doc rollup, one exchange
+        vps.text.Vocab.topK(vps.text.Vocab.termStatsFused(docs, "text"), 100).collect()
       }
       def cap(): Unit = {
         vps.text.UrlOps.domainCap(docs.select(col("id"), col("source").as("domain")),
           "domain", "id", cap = 1000, salt = 7L).count()
       }
-      winnow(); vocab(); cap() // warm codegen/JIT once per leg session
+      winnow(); vocab(); vocabFused(); cap() // warm codegen/JIT once per leg session
       val r = Map(
         "winnow" -> time(winnow()),
         "vocab" -> time(vocab()),
+        "vfused" -> time(vocabFused()),
         "cap" -> time(cap()))
       s.stop()
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()

@@ -56,6 +56,21 @@ class VocabSpec extends AnyFunSuite {
     assert(got((2L, "cat")) === expect(1, 2))
   }
 
+  test("termStatsFused equals the two-exchange form (incl. double spaces, case folds, repeats)") {
+    val a = Vocab.termStats(Vocab.docTermCounts(corpus, "doc_id", "text"), "doc_id")
+      .as[(String, Long, Long)].collect().toSet
+    val b = Vocab.termStatsFused(corpus, "text")
+      .as[(String, Long, Long)].collect().toSet
+    assert(a === b)
+  }
+
+  test("termStatsFused has exactly one exchange (the term rollup)") {
+    val plan = Vocab.termStatsFused(corpus, "text")
+      .queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n === 1, s"expected 1 exchange, got $n:\n$plan")
+  }
+
   test("top-k compiles to TakeOrderedAndProject, not a global sort") {
     val plan = Vocab.topK(Vocab.termStats(
         Vocab.docTermCounts(corpus, "doc_id", "text"), "doc_id"), 3)
