@@ -741,6 +741,24 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // ---- canonical-URL normalization: fragment / host-case / default-port
+    // / tracking-param / tidy rules in fixed order, all lookahead-free
+    // regexp builtins (codegen map-side); the oracle replays the identical
+    // patterns under RE2 ----
+    "q56_url_normalize" -> ((s, dir) => {
+      import vps.text.UrlOps
+      val messy = docsT(s, dir).select(col("doc_id"),
+        concat(lit("HTTP://WWW."), upper(col("source")), lit(".EXAMPLE.COM:80/Path"),
+          col("doc_id").cast("string"), lit("/?utm_source=x&id="),
+          col("doc_id").cast("string"), lit("&fbclid=abc#frag")).as("u1"),
+        concat(lit("https://CDN."), col("source"), lit(".Net:443/x/?gclid="),
+          col("doc_id").cast("string")).as("u2"))
+      messy.select(col("doc_id"),
+          UrlOps.normalizeUrl(col("u1")).as("n1"),
+          UrlOps.normalizeUrl(col("u2")).as("n2"))
+        .orderBy("doc_id")
+    }),
+
     // ---- winnowing fingerprints (Schleimer et al. SIGMOD'03): substring-
     // level local fingerprinting — each window of w=4 consecutive 8-gram
     // hashes selects its rightmost minimum; per-doc stats fold over the
@@ -1617,6 +1635,32 @@ object SparkEntry {
       // fragment, per doc), PII counts (q49 patterns on the raw text), then
       // the identical first-failing CASE — thresholds are raw doubles, so
       // the IEEE compares match bit-for-bit.
+      // Normalization mirror: the identical lookahead-free patterns in the
+      // identical rule order; RE2 replacements use \n backrefs + the 'g'
+      // flag where Java's replaceAll is implicitly global.
+      "q56_url_normalize" -> {
+        val track = "(utm_[A-Za-z]+|gclid|fbclid)=[^&]*"
+        def norm(u: String): String = {
+          val noFrag = s"regexp_replace($u, '#.*', '')"
+          val lowered = s"lower(regexp_extract($noFrag, '(?i)^(https?://[^/?#]*)', 1)) || " +
+            s"regexp_replace($noFrag, '(?i)^https?://[^/?#]*', '')"
+          val noPort = s"regexp_replace(regexp_replace($lowered, " +
+            s"'^(http://[^/:?#]+):80([/?]|$$)', '\\1\\2'), " +
+            s"'^(https://[^/:?#]+):443([/?]|$$)', '\\1\\2')"
+          val noTrack = s"regexp_replace(regexp_replace($noPort, '&$track', '', 'g'), " +
+            s"'\\?$track&', '?')"
+          val tidy = s"regexp_replace(regexp_replace($noTrack, '\\?$track$$', ''), '\\?$$', '')"
+          s"regexp_replace($tidy, '/$$', '')"
+        }
+        s"""WITH messy AS (
+           |  SELECT doc_id,
+           |    'HTTP://WWW.' || upper(source) || '.EXAMPLE.COM:80/Path' || CAST(doc_id AS VARCHAR) ||
+           |      '/?utm_source=x&id=' || CAST(doc_id AS VARCHAR) || '&fbclid=abc#frag' AS u1,
+           |    'https://CDN.' || source || '.Net:443/x/?gclid=' || CAST(doc_id AS VARCHAR) AS u2
+           |  FROM documents)
+           |SELECT doc_id, ${norm("u1")} AS n1, ${norm("u2")} AS n2
+           |FROM messy ORDER BY doc_id""".stripMargin
+      },
       // Winnowing mirror: the same polynomial-rolling-hash + splitmix64
       // 8-gram hashes WITH positions, window MIN over a 4-row frame
       // (HUGEINT = unsigned order, matching the Scala unsigned compare),

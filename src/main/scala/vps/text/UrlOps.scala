@@ -65,6 +65,32 @@ object UrlOps {
       .otherwise(host)
   }
 
+  /** Canonical URL for URL-level dedup (C4-style): strip the fragment,
+    * lowercase scheme://host, drop default ports (:80 http / :443 https),
+    * remove tracking params (utm_*, gclid, fbclid), then tidy a dangling
+    * `?`/`&` and a single trailing slash. Fixed rule ORDER is part of the
+    * contract. Every rule is a lookahead-free regexp_replace — codegen'd
+    * map-side, and the identical patterns run under RE2 (replacements use
+    * `$n` in Java vs `\n` + the 'g' flag in DuckDB — syntax, not semantics).
+    * Non-URL strings pass through unchanged.
+    */
+  def normalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    // lowercase scheme://host only (path/query are case-significant)
+    val lowered = concat(
+      lower(regexp_extract(noFrag, "(?i)^(https?://[^/?#]*)", 1)),
+      regexp_replace(noFrag, "(?i)^https?://[^/?#]*", ""))
+    val noPort = regexp_replace(
+      regexp_replace(lowered, "^(http://[^/:?#]+):80([/?]|$)", "$1$2"),
+      "^(https://[^/:?#]+):443([/?]|$)", "$1$2")
+    val trackers = "(utm_[A-Za-z]+|gclid|fbclid)=[^&]*"
+    val noTrack = regexp_replace(
+      regexp_replace(noPort, s"&$trackers", ""),
+      s"\\?$trackers&", "?")
+    val tidy = regexp_replace(regexp_replace(noTrack, s"\\?$trackers$$", ""), "\\?$", "")
+    regexp_replace(tidy, "/$", "")
+  }
+
   /** Exact reference form of the cap: keep the `cap` rows per domain with
     * the smallest `(hash_uniform(id, salt), id)` key. One corpus-wide
     * shuffle on the domain + a per-domain sort — correct, but a hot domain

@@ -41,6 +41,23 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(got === Seq("www.Ex.com", "plain.org"))
   }
 
+  test("normalizeUrl truth table: fragment, case, default ports, trackers, tidy") {
+    val cases = Seq(
+      "HTTP://WWW.Ex.COM:80/Path/?utm_source=x&id=3&fbclid=a#frag"
+        -> "http://www.ex.com/Path/?id=3",
+      "https://CDN.a.Net:443/x/?gclid=1" -> "https://cdn.a.net/x",
+      "http://a.com:8080/keep" -> "http://a.com:8080/keep", // non-default port kept
+      "https://a.com/?utm_a=1&utm_b=2&utm_c=3" -> "https://a.com",
+      "https://a.com/p?real=1&utm_x=2&also=3" -> "https://a.com/p?real=1&also=3",
+      "https://a.com/" -> "https://a.com",
+      "not a url at all" -> "not a url at all",
+      "https://a.com/CaseKept/Path" -> "https://a.com/CaseKept/Path")
+    val got = cases.map(_._1).toDF("u")
+      .select($"u", UrlOps.normalizeUrl($"u").as("n"))
+      .as[(String, String)].collect().toMap
+    cases.foreach { case (u, want) => assert(got(u) === want, u) }
+  }
+
   // Skewed corpus: one hot domain (200 rows), several small ones, plus a
   // domain exactly at the cap boundary.
   private def skewed = {
