@@ -741,6 +741,19 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // ---- line-level boilerplate removal (CCNet-style): lines whose
+    // distinct-doc frequency >= 5 drop from every doc, remaining line order
+    // preserved. The boilerplate set is the heavy-hitter tail (small ->
+    // broadcast anti-join); the corpus side never reshuffles for the
+    // filter ----
+    "q57_line_dedup" -> ((s, dir) => {
+      val docs = docsT(s, dir).select(col("doc_id"),
+        concat(lit("shared banner for "), col("source"), lit("\ndoc "),
+          col("doc_id").cast("string"), lit(" unique\n"), col("text")).as("text"))
+      vps.text.LineDedup.dropBoilerplate(docs, "doc_id", "text", minDocFreq = 5L)
+        .orderBy("doc_id")
+    }),
+
     // ---- canonical-URL normalization: fragment / host-case / default-port
     // / tracking-param / tidy rules in fixed order, all lookahead-free
     // regexp builtins (codegen map-side); the oracle replays the identical
@@ -1635,6 +1648,37 @@ object SparkEntry {
       // fragment, per doc), PII counts (q49 patterns on the raw text), then
       // the identical first-failing CASE — thresholds are raw doubles, so
       // the IEEE compares match bit-for-bit.
+      // Line-dedup mirror: identical newline-joined construction, distinct
+      // (line, doc) frequency, anti-join, order-preserving reassembly via
+      // string_agg(... ORDER BY pos).
+      "q57_line_dedup" ->
+        s"""WITH src AS (
+           |  SELECT doc_id, 'shared banner for ' || source || chr(10) ||
+           |    'doc ' || CAST(doc_id AS VARCHAR) || ' unique' || chr(10) || text AS t
+           |  FROM documents),
+           |lines AS (
+           |  SELECT doc_id,
+           |    unnest(range(len(string_split(t, chr(10))))) AS pos,
+           |    unnest(string_split(t, chr(10))) AS line
+           |  FROM src),
+           |boiler AS (
+           |  SELECT line FROM (
+           |    SELECT line, count(*) AS df
+           |    FROM (SELECT DISTINCT line, doc_id FROM lines) GROUP BY line)
+           |  WHERE df >= 5),
+           |kept AS (
+           |  SELECT l.doc_id, l.pos, l.line FROM lines l
+           |  LEFT JOIN boiler b ON l.line = b.line WHERE b.line IS NULL),
+           |agg AS (
+           |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+           |    CAST(count(*) AS BIGINT) AS n_kept
+           |  FROM kept GROUP BY doc_id),
+           |tot AS (SELECT doc_id,
+           |  CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_total FROM src)
+           |SELECT t.doc_id, coalesce(a.text, '') AS text,
+           |  coalesce(a.n_kept, 0) AS n_kept,
+           |  t.n_total - coalesce(a.n_kept, 0) AS n_dropped
+           |FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin,
       // Normalization mirror: the identical lookahead-free patterns in the
       // identical rule order; RE2 replacements use \n backrefs + the 'g'
       // flag where Java's replaceAll is implicitly global.
