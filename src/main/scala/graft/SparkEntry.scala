@@ -741,6 +741,19 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // ---- substring-level near-dup candidates via winnowing buckets:
+    // planted suffix-copies share the original's (rare) fingerprints, so
+    // every planted pair surfaces; fingerprints in > maxBucket docs are
+    // generic word-salad phrases — dropped AND counted, mirroring the
+    // MinHash family's bounded-bucket contract ----
+    "q58_winnow_pairs" -> ((s, dir) => {
+      val docs = docsT(s, dir).select(col("doc_id").as("id"), col("text"))
+      val corpus = docs.union(docs.select(col("id") + 100000,
+        concat(col("text"), lit(" tiny suffix"))))
+      vps.ml.Dedup.winnowCandidates(corpus, minShared = 30, maxBucket = 64)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- line-level boilerplate removal (CCNet-style): lines whose
     // distinct-doc frequency >= 5 drop from every doc, remaining line order
     // preserved. The boilerplate set is the heavy-hitter tail (small ->
@@ -894,6 +907,39 @@ object SparkEntry {
     s"xor($s3, $s3 // 2147483648)"
   }
   private def unsignedLit(v: Long): String = java.lang.Long.toUnsignedString(v)
+
+  /** Winnowing-fingerprint CTE chain (k=8, w=4) from a `(id, text)` relation
+    * to `fps (id, h)`: rolling 8-gram polynomial + splitmix64 hashes WITH
+    * positions, window MIN over a 4-row frame (HUGEINT = unsigned order,
+    * matching the Scala unsigned compare), rightmost argmin via a bounded
+    * range join, distinct selected hashes. Shared by q55 and q58.
+    */
+  private def winnowChainSql(corpusRel: String): String = {
+    val poly8 = (1 until 8).foldLeft("cp[i]") { (acc, k) =>
+      s"(($acc) * 1315423911 + cp[i+$k]) % $two64"
+    }
+    s"""cps AS (
+       |  SELECT id,
+       |    list_transform(string_split(text, ''), c -> CAST(unicode(c) AS HUGEINT)) AS cp,
+       |    length(text) AS n FROM $corpusRel),
+       |h0 AS (
+       |  SELECT id, i, $poly8 AS h
+       |  FROM (SELECT id, cp, unnest(range(1, greatest(n - 6, 1))) AS i FROM cps)),
+       |${mix64StagesSql("h0", "h", "hm", "wn")},
+       |hs AS (SELECT id, i, hm AS h FROM wn4),
+       |wmn AS (
+       |  SELECT id, i, h,
+       |    MIN(h) OVER (PARTITION BY id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn,
+       |    COUNT(*) OVER (PARTITION BY id) AS nh
+       |  FROM hs),
+       |starts AS (SELECT id, i AS ws, mn FROM wmn WHERE i <= greatest(nh - 3, 1)),
+       |sel AS (
+       |  SELECT s.id, s.ws, MAX(m.i) AS p
+       |  FROM starts s JOIN hs m
+       |    ON m.id = s.id AND m.i >= s.ws AND m.i <= s.ws + 3 AND m.h = s.mn
+       |  GROUP BY 1, 2),
+       |fps AS (SELECT DISTINCT s.id, h.h FROM sel s JOIN hs h ON h.id = s.id AND h.i = s.p)""".stripMargin
+  }
 
   /** Z-order spread of the low 16 bits into even positions (SQL mirror of
     * CellId.spread; levels <= 16).
@@ -1711,30 +1757,8 @@ object SparkEntry {
       // rightmost argmin via a bounded range join, distinct selected hashes,
       // then signed per-doc count/min/xor.
       "q55_winnow" -> {
-        val poly8 = (1 until 8).foldLeft("cp[i]") { (acc, k) =>
-          s"(($acc) * 1315423911 + cp[i+$k]) % $two64"
-        }
-        s"""WITH cps AS (
-           |  SELECT doc_id AS id,
-           |    list_transform(string_split(text, ''), c -> CAST(unicode(c) AS HUGEINT)) AS cp,
-           |    length(text) AS n FROM documents),
-           |h0 AS (
-           |  SELECT id, i, $poly8 AS h
-           |  FROM (SELECT id, cp, unnest(range(1, greatest(n - 6, 1))) AS i FROM cps)),
-           |${mix64StagesSql("h0", "h", "hm", "wn")},
-           |hs AS (SELECT id, i, hm AS h FROM wn4),
-           |wmn AS (
-           |  SELECT id, i, h,
-           |    MIN(h) OVER (PARTITION BY id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn,
-           |    COUNT(*) OVER (PARTITION BY id) AS nh
-           |  FROM hs),
-           |starts AS (SELECT id, i AS ws, mn FROM wmn WHERE i <= greatest(nh - 3, 1)),
-           |sel AS (
-           |  SELECT s.id, s.ws, MAX(m.i) AS p
-           |  FROM starts s JOIN hs m
-           |    ON m.id = s.id AND m.i >= s.ws AND m.i <= s.ws + 3 AND m.h = s.mn
-           |  GROUP BY 1, 2),
-           |fps AS (SELECT DISTINCT s.id, h.h FROM sel s JOIN hs h ON h.id = s.id AND h.i = s.p),
+        s"""WITH corpus AS (SELECT doc_id AS id, text FROM documents),
+           |${winnowChainSql("corpus")},
            |sg AS (SELECT id,
            |  CAST(CASE WHEN h >= 9223372036854775808 THEN h - $two64 ELSE h END AS BIGINT) AS v
            |  FROM fps)
@@ -1742,6 +1766,23 @@ object SparkEntry {
            |  MIN(v) AS fp_min, bit_xor(v) AS fp_xor
            |FROM sg GROUP BY id ORDER BY doc_id""".stripMargin
       },
+      // Winnow-bucket pair mirror: the same fingerprint chain over the
+      // doubled corpus, the bucket cap as `c BETWEEN 2 AND 64` (exactly
+      // collect_capped's drop semantics), pair counting over sub-cap fps.
+      "q58_winnow_pairs" ->
+        s"""WITH corpus AS (
+           |  SELECT doc_id AS id, text FROM documents
+           |  UNION ALL SELECT doc_id + 100000, text || ' tiny suffix' FROM documents),
+           |${winnowChainSql("corpus")},
+           |sizes AS (SELECT h, count(*) AS c FROM fps GROUP BY h),
+           |ok AS (SELECT f.id, f.h FROM fps f JOIN sizes s ON s.h = f.h
+           |       WHERE s.c BETWEEN 2 AND 64),
+           |pairs AS (
+           |  SELECT a.id AS id_a, b.id AS id_b FROM ok a
+           |  JOIN ok b ON a.h = b.h AND a.id < b.id)
+           |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS shared_fps
+           |FROM pairs GROUP BY 1, 2 HAVING count(*) >= 30
+           |ORDER BY id_a, id_b""".stripMargin,
       // URL cap mirror: identical synthetic URL text, the same lookahead-free
       // patterns (shared constants), the same registered-domain case logic,
       // and the cap in its window form (the heap aggregate is spec-proven

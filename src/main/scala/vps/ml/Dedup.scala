@@ -166,6 +166,41 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Substring-level candidate pairs via winnowing fingerprints
+    * ([[vps.text.TextOps.winnow]], Schleimer et al. SIGMOD'03): documents
+    * sharing at least `minShared` selected k-gram fingerprints. Unlike the
+    * whole-document MinHash signature, winnowing guarantees detection of any
+    * shared SUBSTRING of length >= k + w - 1 — the contained-copy /
+    * quotation case MinHash dilutes away.
+    *
+    * Same shuffle plan as [[minhashCandidates]]: one (fp) shuffle over
+    * (id, fp) pairs only, capped buckets (a fingerprint appearing in more
+    * than `maxBucket` docs is generic boilerplate — dropped AND counted on
+    * the error channel), pairs generated inside each bucket row, then one
+    * count-shuffle on the pair. `shared_fps` counts distinct shared
+    * fingerprints (per-doc fingerprint sets are distinct by construction).
+    */
+  def winnowCandidates(
+      df: DataFrame,
+      idCol: String = "id",
+      textCol: String = "text",
+      k: Int = 8,
+      w: Int = 4,
+      minShared: Int = 8,
+      maxBucket: Int = 64,
+      droppedBuckets: Option[vps.geom.ErrorChannel] = None): DataFrame = {
+    val fps = df.select(col(idCol).as("id"),
+      explode(winnow_fingerprints(col(textCol), k, w)).as("fp"))
+    fps.groupBy(col("fp"))
+      .agg(sort_array(collect_capped(col("id"), maxBucket)).as("ids"))
+      .where(not_dropped(col("ids"), dropChannel(df, "winnow", droppedBuckets)))
+      .select(explode(array_pairs(col("ids"))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .where(col("shared_fps") >= minShared)
+  }
+
   /** Near-duplicate GROUP membership: `(id, keep_id)` — the operator a
     * training-data pipeline runs after candidate generation. Verified
     * [[minhashCandidates]] pairs are resolved into transitive groups with

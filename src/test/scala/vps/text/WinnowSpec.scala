@@ -78,6 +78,46 @@ class WinnowSpec extends AnyFunSuite {
     assert(refWinnow("0123456789", 8, 4) === fps.toSet)
   }
 
+  test("winnowCandidates surfaces substring-sharing pairs with exact shared counts") {
+    val base = "completely distinct filler words occupy this document body here"
+    val shared = "zqxjkvbw unique plagiarized passage travels between docs"
+    val rows = Seq(
+      (1L, s"$base alpha $shared omega"),
+      (2L, s"different framing text $shared unrelated tail"),
+      (3L, "third document shares nothing with anyone at all today"))
+    val df = spark.createDataFrame(rows).toDF("id", "text")
+    val got = vps.ml.Dedup.winnowCandidates(df, minShared = 1, maxBucket = 64)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // brute-force expectation: intersection of winnow sets, restricted to
+    // fps appearing in <= maxBucket docs (all sub-cap here)
+    val fps = rows.map { case (id, t) => id -> TextOps.winnow(t, 8, 4).toSet }.toMap
+    val want12 = (fps(1L) & fps(2L)).size
+    assert(want12 > 0)
+    assert(got((1L, 2L)) === want12.toLong)
+    assert(!got.contains((1L, 3L)) || got((1L, 3L)) === (fps(1L) & fps(3L)).size.toLong)
+    assert(!got.contains((2L, 3L)) || got((2L, 3L)) === (fps(2L) & fps(3L)).size.toLong)
+  }
+
+  test("winnowCandidates drops over-cap fingerprint buckets (boilerplate) entirely") {
+    // 70 docs all share one boilerplate sentence; pairwise-unique remainders
+    val boiler = "this exact boilerplate sentence appears everywhere verbatim"
+    val rows = (0 until 70).map { i =>
+      (i.toLong, s"unique prefix number $i $boiler distinct suffix $i end")
+    }
+    val df = spark.createDataFrame(rows).toDF("id", "text")
+    val withCap = vps.ml.Dedup.winnowCandidates(df, minShared = 1, maxBucket = 64)
+      .as[(Long, Long, Long)].collect()
+    val noCap = vps.ml.Dedup.winnowCandidates(df, minShared = 1, maxBucket = 4096)
+      .as[(Long, Long, Long)].collect()
+    // without the cap the shared boilerplate links all C(70,2) pairs; with it,
+    // the 70-doc buckets vanish and only sub-cap overlaps remain
+    assert(noCap.length >= 69 * 70 / 2)
+    // residual pairs come from sub-cap numeric-suffix overlaps ("suffix 1"
+    // vs "suffix 10"), not the boilerplate clique
+    assert(withCap.length < noCap.length / 4,
+      s"cap should prune boilerplate pairs: ${withCap.length} vs ${noCap.length}")
+  }
+
   test("expression evaluates through the Column API") {
     val got = Seq("the quick brown fox jumps over it").toDF("t")
       .select(vps.text.functions.winnow_fingerprints($"t", 8, 4).as("fps"))
