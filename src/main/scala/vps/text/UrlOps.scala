@@ -116,13 +116,18 @@ object UrlOps {
     */
   def domainCap(
       df: DataFrame, domainCol: String, idCol: String,
-      cap: Int, salt: Long = 0L): DataFrame = {
+      cap: Int, salt: Long = 0L, broadcastJoinBack: Boolean = true): DataFrame = {
     val kept = df
       .groupBy(col(domainCol))
       .agg(keep_smallest(hash_uniform(col(idCol), salt), col(idCol), cap)
         .as("__keep"))
       .select(explode(col("__keep")).as(idCol))
-    df.join(broadcast(kept), Seq(idCol), "left_semi")
+    // the kept set is <= domains * cap ids regardless of corpus size —
+    // broadcastable in the regimes a cap is for. When domains * cap itself
+    // is too big for a broadcast, pass false: the semi-join shuffles the
+    // (still id-only) kept side and AQE picks the strategy.
+    val keptSide = if (broadcastJoinBack) broadcast(kept) else kept
+    df.join(keptSide, Seq(idCol), "left_semi")
   }
 
   /** Per-domain doc counts + kept counts under the cap — the curation audit

@@ -81,6 +81,14 @@ class UrlOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("non-broadcast join-back keeps the identical set") {
+    val bc = UrlOps.domainCap(skewed, "domain", "rid", 5, 11L)
+      .select($"domain", $"rid").as[(String, Long)].collect().toSet
+    val sh = UrlOps.domainCap(skewed, "domain", "rid", 5, 11L, broadcastJoinBack = false)
+      .select($"domain", $"rid").as[(String, Long)].collect().toSet
+    assert(bc === sh)
+  }
+
   test("kept set is a pure function of (id, salt): partitioning-independent and salt-sensitive") {
     val base = UrlOps.domainCap(skewed.repartition(1), "domain", "rid", 5, 11L)
       .select($"domain", $"rid").as[(String, Long)].collect().toSet
