@@ -63,4 +63,55 @@ class CorpusPipelineSpec extends AnyFunSuite {
       }
     corpus.unpersist()
   }
+
+  test("web-curation front half: lineDedup -> domainCap -> winnow near-dup -> vocab") {
+    import vps.text.{LineDedup, UrlOps, Vocab}
+    val raw = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"source",
+        concat(lit("SHARED BANNER "), $"source", lit("\n"), $"text").as("text"))
+
+    // 1) boilerplate removal: per-source banner lines (df >= 3) vanish,
+    //    per-doc body lines survive
+    val cleaned = LineDedup.dropBoilerplate(raw.select($"doc_id", $"text"),
+        "doc_id", "text", minDocFreq = 3L)
+      .join(raw.select($"doc_id", $"source"), Seq("doc_id"))
+    val bannered = cleaned.where($"text".contains("SHARED BANNER")).count()
+    val srcCounts = raw.groupBy($"source").count()
+      .as[(String, Long)].collect().toMap
+    // banners from sources with < 3 docs legitimately survive
+    val smallSrcDocs = srcCounts.filter(_._2 < 3).values.sum
+    assert(bannered === smallSrcDocs, s"only sub-threshold banners survive ($bannered)")
+    assert(cleaned.where($"n_kept" === 0).count() === 0)
+
+    // 2) per-domain cap (source as the domain), cap=1: exactly one doc per
+    //    domain survives, chosen deterministically
+    val capped = UrlOps.domainCap(cleaned, "source", "doc_id", cap = 1, salt = 3L)
+    val perDomain = capped.groupBy($"source").count().as[(String, Long)].collect()
+    assert(perDomain.forall(_._2 === 1L))
+    val capped2 = UrlOps.domainCap(cleaned, "source", "doc_id", cap = 1, salt = 3L)
+    assert(capped.select($"doc_id").as[Long].collect().toSet ===
+      capped2.select($"doc_id").as[Long].collect().toSet)
+
+    // 3) substring near-dup groups over the capped corpus + planted copies:
+    //    winnow candidates -> connected components -> min-id representatives
+    val planted = capped.select(($"doc_id" + 900000L).as("doc_id"),
+      concat($"text", lit(" tiny suffix")).as("text"), $"source")
+    val withCopies = capped.select($"doc_id", $"text", $"source").unionAll(planted)
+    val cand = Dedup.winnowCandidates(
+      withCopies.select($"doc_id".as("id"), $"text"), minShared = 20, maxBucket = 256)
+    val comp = Components.connectedComponents(cand) // (id, component=min id)
+    val groups = comp.select($"id", $"component").as[(Long, Long)].collect()
+    val plantedGrouped = groups.filter(_._1 >= 900000L)
+    assert(plantedGrouped.nonEmpty, "planted suffix copies must surface")
+    assert(plantedGrouped.forall { case (id, rep) => rep === id - 900000L || rep < 900000L },
+      "group representative is never the planted copy (min-id)")
+
+    // 4) vocabulary over the final survivors (grouped non-representatives
+    //    dropped): banner tokens are gone
+    val nonReps = comp.where($"id" =!= $"component").select($"id".as("doc_id"))
+    val finalCorpus = withCopies.join(nonReps, Seq("doc_id"), "left_anti")
+    val vocab = Vocab.termStatsFused(finalCorpus, "text")
+      .select($"term").as[String].collect().toSet
+    assert(!vocab.contains("banner") || smallSrcDocs > 0)
+  }
 }
