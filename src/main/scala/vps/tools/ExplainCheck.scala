@@ -126,6 +126,17 @@ object ExplainCheck {
       vps.text.Vocab.docTermCounts(docsTbl, "doc_id", "text"), "doc_id"), 100)
     audit("vocab top-k", topk, Seq("TakeOrderedAndProject", "HashAggregate"))
 
+    // 12) winnow candidates: exactly TWO exchanges (fp buckets, pair count) —
+    // document bytes never ride a shuffle, only (id, fp) and (id_a, id_b)
+    val wc = vps.ml.Dedup.winnowCandidates(
+      docsTbl.select(col("doc_id").as("id"), col("text")), minShared = 2)
+    wc.collect()
+    val wcPlan = wc.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    val wcEx = "Exchange hashpartitioning".r.findAllIn(wcPlan).length
+    println(s"\n========== winnow candidate pairs ==========")
+    println(s"[check] ${if (wcEx == 2) "PASS" else s"MISS ($wcEx)"}: exactly two hash Exchanges (fp buckets, pair count)")
+    println(s"[check] ${if (wcPlan.contains("ObjectHashAggregate")) "PASS" else "MISS"}: capped-bucket ObjectHashAggregate")
+
     spark.stop()
   }
 }
