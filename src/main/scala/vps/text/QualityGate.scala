@@ -25,7 +25,11 @@ object QualityGate {
     * failing rule (`too_short`, `too_long`, `repetitive`, `lang`, `pii`) or
     * `ok`.
     */
-  def gate(
+  /** Appends `reason` + `keep`, PRESERVING every input column — a stateless
+    * projection, so it composes into Structured Streaming plans unchanged
+    * (gate-then-dedup on ingest, see StreamingDedupSpec).
+    */
+  def withGate(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
@@ -43,7 +47,15 @@ object QualityGate {
       .when(!lang.isin(cfg.langs: _*), "lang")
       .when(pii >= cfg.maxPiiPerKiloChar, "pii")
       .otherwise("ok")
-    docs.select(col(idCol), reason.as("reason"))
+    docs.withColumn("reason", reason)
       .withColumn("keep", col("reason") === "ok")
   }
+
+  def gate(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      cfg: Config = Config()): DataFrame =
+    withGate(docs, idCol, textCol, cfg)
+      .select(col(idCol), col("reason"), col("keep"))
 }

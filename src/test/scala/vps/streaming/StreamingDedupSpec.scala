@@ -65,6 +65,38 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("quality gate composes in-stream before dedup (stateless projection + stateful dedup)") {
+    import vps.text.QualityGate
+    // 20-90 tokens, English stopwords (lang rule), low 5-gram repetition
+    val longOk = "the quick brown fox jumps over it and runs to the lazy dog " +
+      "that was in for with on park where children play near water under trees"
+    val mem = mkStream()
+    val input = mem.toDF().toDF("id", "text", "sec")
+      .withColumn("ts", timestamp_seconds($"sec")).drop("sec")
+    val gated = QualityGate.withGate(input, idCol = "id").where($"keep")
+      .select($"id", $"text", $"ts")
+    val q = StreamingDedup.dedupOnIngest(gated, watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("gate_dedup_stream")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      def step(rows: (Long, String, Long)*): Unit = { mem.addData(rows); q.processAllAvailable() }
+      step((1L, longOk, 1000L), (2L, "too short", 1010L))
+      step((3L, longOk, 1020L)) // passes the gate but is a duplicate of id 1
+      val ids = spark.table("gate_dedup_stream").select($"id").as[Long].collect().toSet
+      assert(ids === Set(1L), s"gate drops 2, dedup drops 3: $ids")
+
+      // the batch mirror of the SAME chain agrees
+      val batch = StreamingDedup.dedupOnIngest(
+        QualityGate.withGate(
+          Seq((1L, longOk, 1000L), (2L, "too short", 1010L), (3L, longOk, 1020L))
+            .toDF("id", "text", "sec")
+            .withColumn("ts", timestamp_seconds($"sec")).drop("sec"),
+          idCol = "id").where($"keep").select($"id", $"text", $"ts"))
+        .select($"id").as[Long].collect().toSet
+      assert(batch === ids)
+    } finally q.stop()
+  }
+
   test("batch mirror breaks first-arrival ties by id") {
     val got = StreamingDedup.dedupOnIngest(
       Seq((9L, "same", 100L), (4L, "same", 100L), (7L, "other", 100L))
