@@ -741,6 +741,20 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // ---- Johnson-Lindenstrauss random projection: 64-dim embeddings ->
+    // 8 pseudo-random hyperplane dots (the q17/q19 plane generator, rows=1);
+    // stateless map-side, the plane matrix is derived not shipped. The
+    // oracle rebuilds the identical splitmix weights and ordered-fold
+    // double dots, so floor(v*1e6) is bit-reproducible ----
+    "q59_embed_project" -> ((s, dir) => {
+      implicit val spark = s
+      t(dir, "embeddings").select(col("vec_id"),
+          posexplode(random_projection(col("embedding"), 8)).as(Seq("dim", "value")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          floor(col("value") * 1e6).cast("long").as("v_e6"))
+        .orderBy("vec_id", "dim")
+    }),
+
     // ---- substring-level near-dup candidates via winnowing buckets:
     // planted suffix-copies share the original's (rare) fingerprints, so
     // every planted pair surfaces; fingerprints in > maxBucket docs are
@@ -1765,6 +1779,29 @@ object SparkEntry {
            |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_fps,
            |  MIN(v) AS fp_min, bit_xor(v) AS fp_xor
            |FROM sg GROUP BY id ORDER BY doc_id""".stripMargin
+      },
+      // JL-projection mirror: the q17 plane-weight CTEs with range(0,8) and
+      // the identical ordered-fold double dot.
+      "q59_embed_project" -> {
+        val a2 = unsignedLit(0x9e3779b97f4a7c15L)
+        val b2 = unsignedLit(0xc2b2ae3d27d4eb4fL)
+        val c2 = unsignedLit(0x165667b19e3779f9L)
+        s"""WITH parg AS (
+           |  SELECT p, d, ((p * $a2) % $two64 + (d * $b2) % $two64 + $c2) % $two64 AS h
+           |  FROM (SELECT unnest(range(0, 8)) AS p) CROSS JOIN (SELECT unnest(range(0, 64)) AS d)),
+           |${mix64StagesSql("parg", "h", "z", "jp")},
+           |plw AS (
+           |  SELECT p, list((CAST(z // 2048 AS DOUBLE) / 9007199254740992.0) * 2.0 - 1.0 ORDER BY d) AS w
+           |  FROM jp4 GROUP BY p),
+           |dots AS (
+           |  SELECT e.vec_id, pw.p, list_reduce(
+           |    list_prepend(CAST(0.0 AS DOUBLE),
+           |      list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), pw.w), x -> x[1] * x[2])),
+           |    (a, b) -> a + b) AS dot
+           |  FROM embeddings e CROSS JOIN plw pw)
+           |SELECT vec_id, CAST(p AS BIGINT) AS dim,
+           |  CAST(FLOOR(dot * 1000000.0) AS BIGINT) AS v_e6
+           |FROM dots ORDER BY vec_id, dim""".stripMargin
       },
       // Winnow-bucket pair mirror: the same fingerprint chain over the
       // doubled corpus, the bucket cap as `c BETWEEN 2 AND 64` (exactly

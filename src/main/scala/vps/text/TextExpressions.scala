@@ -749,6 +749,37 @@ object Hyperplanes {
   }
 }
 
+/** Johnson-Lindenstrauss random projection: embedding -> `outDim` doubles,
+  * each the dot with a fixed pseudo-random hyperplane in [-1,1)^dim (the
+  * SAME seed-free splitmix64 plane generator the LSH bands use, rows=1), so
+  * distances are preserved within the JL bound while downstream ANN /
+  * clustering work shrinks by dim/outDim. Stateless map-side expression; the
+  * plane matrix is derived, never shipped.
+  */
+case class RandomProjection(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(vAny: Any, kAny: Any): Any = {
+    val arr = vAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val v = arr.toFloatArray()
+    val k = kAny.asInstanceOf[Int]
+    val m = Hyperplanes.planes(k, 1, v.length)
+    val out = new Array[Double](k)
+    var p = 0
+    while (p < k) {
+      val plane = m(p)
+      var dot = 0.0
+      var d = 0
+      while (d < v.length) { dot += v(d) * plane(d); d += 1 }
+      out(p) = dot
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
 /** Multi-band random-hyperplane LSH buckets of a float-array embedding:
   * array of `bands` longs, each the sign pattern of `rowsPerBand` fixed
   * pseudo-random projections. OR-composition over bands happens downstream
@@ -823,6 +854,8 @@ object functions {
   def term_counts(text: Column): Column = c(TermCounts(ex(text)))
   def lang_id(text: Column): Column = c(LangId(ex(text)))
   def cosine_sim(a: Column, b: Column): Column = c(CosineSim(ex(a), ex(b)))
+  def random_projection(v: Column, outDim: Int): Column =
+    c(RandomProjection(ex(v), ex(lit(outDim))))
   def hyperplane_bands(v: Column, bands: Int, rowsPerBand: Int): Column =
     c(HyperplaneBands(ex(v), ex(lit(bands)), ex(lit(rowsPerBand))))
   /** All unordered element pairs (i < j) as array<struct<a, b>>. */
