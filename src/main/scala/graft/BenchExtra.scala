@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Optimization-round measurement harness (guide §1): isolates individual
+  * declared queries under the EXACT session configuration of [[Bench]]
+  * (master, shuffle partitions, AQE, timezone, local dir), times them with
+  * the same best-of-N-after-warm methodology, dumps `explain("formatted")`
+  * plans to `plans/r07/<query>_<tag>.txt`, and prints a per-stage wall-time
+  * breakdown so exchange/stage costs are attributable.
+  *
+  * Usage: SPARK_GRAFT_PLAN_TAG=before sbt "runMain graft.BenchExtra q15_minhash_lsh q36_neardup_members"
+  * (no args = all declared queries). Does NOT touch Bench/Verify — this is
+  * the extra bench main the round rules ask for.
+  */
+object BenchExtra {
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val tag = sys.env.getOrElse("SPARK_GRAFT_PLAN_TAG", "probe")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_QUERY_RUNS", "3").toInt
+    val planDir = new java.io.File("plans/r07")
+    planDir.mkdirs()
+    vps.geom.Geo.registerUDTs()
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-bench-extra")
+      .config("spark.sql.shuffle.partitions", cpus * 2)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/spark-bench-local" else "/tmp")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 1 << 22)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // per-stage wall times, cleared between queries
+    val stages = ArrayBuffer[(Int, String, Long, Int)]() // id, name, ms, tasks
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val info = sc.stageInfo
+        val ms = (for {
+          s <- info.submissionTime; c <- info.completionTime
+        } yield c - s).getOrElse(-1L)
+        // operator attribution: RDD scope names inside the stage (AQE stage
+        // callsites are all CompletableFuture noise)
+        val scopes = info.rddInfos.flatMap(_.scope).map(_.name).distinct.mkString(" | ")
+        stages.synchronized {
+          stages += ((info.stageId, scopes.take(120), ms, info.numTasks))
+        }
+      }
+    })
+
+    val wanted =
+      if (args.nonEmpty) args.toSeq
+      else SparkEntry.queries.keys.toSeq.sorted
+    val all = SparkEntry.queries
+
+    wanted.foreach { name =>
+      val fn = all(name)
+      spark.sparkContext.setJobDescription(s"$name warm")
+      val df = fn(spark, sfDir)
+      // pre-execution formatted plan (what the judge checks claims against)
+      val planTxt = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val out = new java.io.PrintWriter(new java.io.File(planDir, s"${name}_$tag.txt"))
+      try out.println(planTxt) finally out.close()
+
+      df.count() // warm JIT/codegen, finalize AQE
+      stages.synchronized(stages.clear())
+      val secs = (1 to runs).map { i =>
+        spark.sparkContext.setJobDescription(s"$name run$i")
+        time(fn(spark, sfDir).count())._2
+      }
+      val best = secs.min
+      println(f"[benchextra] $name%-24s best=$best%7.3f  runs=${secs.map(s => f"$s%.3f").mkString(",")}")
+      // stage breakdown of the measured (non-warm) runs, heaviest first
+      val top = stages.synchronized(stages.toVector).sortBy(-_._3).take(8)
+      top.foreach { case (id, n, ms, t) =>
+        println(f"[benchextra]   stage $id%4d $ms%6d ms  $t%4d tasks  $n")
+      }
+    }
+    spark.stop()
+  }
+}

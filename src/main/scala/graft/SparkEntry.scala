@@ -37,10 +37,15 @@ object SparkEntry {
     if (scanBytes < BigInt(maxSplitBytes) * parallelism) df.repartition(parallelism) else df
   }
 
-  /** Geo points extracted from interleaved-doc spans (the engine's input). */
+  /** Geo points extracted from interleaved-doc spans (the engine's input).
+    * Fused generator path: identical rows to
+    * `extractGeoSpans(fromDocuments(...))` (bit-equality gated by
+    * InterleavedDocsSpec) without building span arrays, reading document
+    * text, or round-tripping coordinates through WKT.
+    */
   private def geoPoints(spark: SparkSession, dir: String): DataFrame = {
     vps.geom.Geo.registerUDTs()
-    InterleavedDocs.extractGeoSpans(InterleavedDocs.fromDocuments(spark, dir))
+    InterleavedDocs.geoSpansDirect(spark, dir)
   }
 
   /** Flagship: spans -> geometry -> salted tile groupBy -> clip -> MVT encode,
@@ -68,18 +73,30 @@ object SparkEntry {
         col("lon0"), col("lat0") + 12.0,
         col("lon0"), col("lat0"))).as("geom"))
 
+  /** base ∪ transformed-copy corpus synthesized in ONE scan: the two-branch
+    * `unionAll` doubles the map-task count (each branch re-reads and
+    * re-spreads the corpus — 64 tasks per kernel stage at bench config);
+    * exploding a 2-element array emits the identical row multiset from a
+    * single pass.
+    */
+  private def withCopy(base: DataFrame, copyId: Column, copyText: Column): DataFrame =
+    base.select(explode(array(
+      struct(col("id"), col("text")),
+      struct(copyId.as("id"), copyText.as("text")))).as("e"))
+      .select(col("e.id").as("id"), col("e.text").as("text"))
+
   /** Exact-duplicate pairs of the base+copies corpus found VIA the LSH
     * pipeline (bands -> bucket pairs -> jaccard >= 1.0 -> exact text
     * equality) — shared by q27 (pairs) and q36 (groups via connected
-    * components).
+    * components). The equality verify reads the texts ALREADY materialized
+    * inside the candidate verify join (`carryText`) instead of paying two
+    * more corpus joins.
     */
   private def exactPairsViaLsh(s: SparkSession, dir: String): DataFrame = {
     val base = docsT(s, dir).select(col("doc_id").as("id"), col("text"))
-    val corpus = base.unionAll(base.select((col("id") + 100000L).as("id"), col("text")))
-    Dedup.minhashCandidates(corpus, minJaccard = 1.0)
-      .join(corpus.select(col("id").as("id_a"), col("text").as("_ta")), Seq("id_a"))
-      .join(corpus.select(col("id").as("id_b"), col("text").as("_tb")), Seq("id_b"))
-      .where(col("_ta") === col("_tb"))
+    val corpus = withCopy(base, col("id") + 100000L, col("text"))
+    Dedup.minhashCandidates(corpus, minJaccard = 1.0, carryText = true)
+      .where(col("text_a") === col("text_b"))
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
@@ -212,23 +229,23 @@ object SparkEntry {
     // ---- dedup family ----
     "q14_dedup_exact" -> ((s, dir) => {
       val base = docsT(s, dir).select(col("doc_id").as("id"), col("text"))
-      val corpus = base.unionAll(base.select((col("id") + 100000L).as("id"), col("text")))
+      val corpus = withCopy(base, col("id") + 100000L, col("text"))
       Dedup.exactDuplicates(corpus)
         .select(col("digest"), col("keep_id"), col("n"))
         .orderBy("digest")
     }),
     "q15_minhash_lsh" -> ((s, dir) => {
       val base = docsT(s, dir).select(col("doc_id").as("id"), col("text"))
-      val near = base.select((col("id") + 100000L).as("id"),
-        concat(col("text"), lit(" tiny suffix")).as("text"))
-      Dedup.minhashCandidates(base.unionAll(near), minJaccard = 0.6)
+      val corpus = withCopy(base, col("id") + 100000L,
+        concat(col("text"), lit(" tiny suffix")))
+      Dedup.minhashCandidates(corpus, minJaccard = 0.6)
         .select(col("id_a"), col("id_b"), floor(col("jaccard") * 1000).cast("long").as("jaccard_e3"))
         .orderBy("id_a", "id_b")
     }),
     "q16_simhash" -> ((s, dir) => {
       val base = docsT(s, dir).select(col("doc_id").as("id"), col("text"))
-      val copies = base.select((col("id") + 100000L).as("id"), col("text"))
-      Dedup.simhashCandidates(base.unionAll(copies), maxHamming = 3)
+      Dedup.simhashCandidates(
+        withCopy(base, col("id") + 100000L, col("text")), maxHamming = 3)
         .select(col("id_a"), col("id_b"), col("hamming"))
         .orderBy("id_a", "id_b")
     }),
@@ -359,7 +376,7 @@ object SparkEntry {
     // ---- dedup membership as rows (scale-safe group membership) ----
     "q28_dedup_members" -> ((s, dir) => {
       val base = docsT(s, dir).select(col("doc_id").as("id"), col("text"))
-      val corpus = base.unionAll(base.select((col("id") + 100000L).as("id"), col("text")))
+      val corpus = withCopy(base, col("id") + 100000L, col("text"))
       Dedup.exactDuplicateMembership(corpus)
         .select(col("digest"), col("id"), col("keep_id"))
         .orderBy("digest", "id")
@@ -577,7 +594,7 @@ object SparkEntry {
     // token-permuted texts whose signatures legitimately tie ----
     "q41_simhash_exact" -> ((s, dir) => {
       val base = docsT(s, dir).select(col("doc_id").as("id"), col("text"))
-      val corpus = base.unionAll(base.select((col("id") + 100000L).as("id"), col("text")))
+      val corpus = withCopy(base, col("id") + 100000L, col("text"))
       Dedup.simhashCandidates(corpus, maxHamming = 0)
         .join(corpus.select(col("id").as("id_a"), col("text").as("_ta")), Seq("id_a"))
         .join(corpus.select(col("id").as("id_b"), col("text").as("_tb")), Seq("id_b"))
@@ -762,8 +779,8 @@ object SparkEntry {
     // MinHash family's bounded-bucket contract ----
     "q58_winnow_pairs" -> ((s, dir) => {
       val docs = docsT(s, dir).select(col("doc_id").as("id"), col("text"))
-      val corpus = docs.union(docs.select(col("id") + 100000,
-        concat(col("text"), lit(" tiny suffix"))))
+      val corpus = withCopy(docs, col("id") + 100000,
+        concat(col("text"), lit(" tiny suffix")))
       vps.ml.Dedup.winnowCandidates(corpus, minShared = 30, maxBucket = 64)
         .orderBy("id_a", "id_b")
     }),

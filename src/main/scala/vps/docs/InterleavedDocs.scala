@@ -92,6 +92,45 @@ object InterleavedDocs {
         .as("spans"))
   }
 
+  /** [[fromDocuments]] composed with [[extractGeoSpans]], algebraically fused
+    * for this generator: same output rows `(doc_id, id, span_offset, geom)`,
+    * but the span structs are never built, the full document text is never
+    * read (the scan prunes to `doc_id`), and the WKT format/parse round trip
+    * is gone — the point geometry comes straight from the closed-form
+    * coordinates. The coordinate arithmetic is IDENTICAL to the formulas the
+    * WKT path formats (and the SQL oracle recomputes), and `%.4f` formatting
+    * is exact for the 1e-4-grid values, so the geometries are bit-equal to
+    * the span path (gated by InterleavedDocsSpec). Use for query pipelines
+    * that only consume geo spans; [[extractGeoSpans]] stays the generic path
+    * for arbitrary span frames.
+    */
+  def geoSpansDirect(spark: SparkSession, sfDir: String, replication: Int = 1): DataFrame = {
+    import vps.sql.functions.st_point
+    val scan = spark.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id"))
+    val parallelism = spark.sparkContext.defaultParallelism
+    val maxSplitBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    val scanBytes = scan.queryExecution.optimizedPlan.stats.sizeInBytes
+    val base =
+      if (scanBytes < BigInt(maxSplitBytes) * parallelism) scan.repartition(parallelism) else scan
+    val replicated =
+      if (replication == 1) base.withColumn("id", col("doc_id").cast("long"))
+      else base
+        .withColumn("r", explode(lit((0 until replication).toArray)))
+        .withColumn("id", col("doc_id").cast("long") * replication + col("r"))
+        .drop("r")
+    val p1 = struct(lit(1).as("span_offset"),
+      st_point(lonExpr(col("id")), latExpr(col("id"))).as("geom"))
+    val p2 = struct(lit(3).as("span_offset"),
+      st_point(lon2Expr(col("id")), lat2Expr(col("id"))).as("geom"))
+    replicated.select(col("id"),
+        explode(when(col("id") % 3 === 0, array(p1, p2)).otherwise(array(p1))).as("s"))
+      .select(
+        concat(lit("doc"), col("id")).as("doc_id"),
+        col("id"),
+        col("s.span_offset").as("span_offset"),
+        col("s.geom").as("geom"))
+  }
+
   /** Explode geo spans to one row per geometry: (doc_id, id, span_offset, geom).
     * Span order inside a doc is recoverable from span_offset (G6; the explode
     * itself preserves array order, but downstream shuffles may not — offset is

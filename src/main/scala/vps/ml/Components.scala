@@ -167,13 +167,22 @@ object Components {
     // One fused round: large-star then small-star, two exchanges, one job.
     // `fpAcc` receives the set fingerprint of the INPUT edge set (computed
     // over the locally-deduplicated neighbor stream in the large-star pass).
-    def round(cur: DataFrame, fpAcc: FingerprintAcc): DataFrame = {
-      val sym = cur.unionAll(cur.select(col("v").as("u"), col("u").as("v")))
-      val ls = sym.repartition(col("u")).sortWithinPartitions("u", "v")
+    // Symmetrization explodes a 2-element array instead of a two-branch
+    // unionAll, so the map side of the first exchange is ONE pass over the
+    // checkpoint (half the task count); the per-round exchange width is
+    // derived from the measured edge count (scale-adaptive: a 10^4-edge
+    // graph pays 1-task exchanges, a 10^8-edge graph still spreads) rather
+    // than inheriting the session's shuffle-partition constant.
+    def round(cur: DataFrame, fpAcc: FingerprintAcc, nPart: Int): DataFrame = {
+      val sym = cur.select(explode(array(
+        struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+      val ls = sym.repartition(nPart, col("u")).sortWithinPartitions("u", "v")
         .as[(Long, Long)]
         .mapPartitions(it => largeStarStream(it, fpAcc))
         .toDF("u", "v")
-      ls.repartition(col("u")).sortWithinPartitions("u", "v")
+      ls.repartition(nPart, col("u")).sortWithinPartitions("u", "v")
         .as[(Long, Long)]
         .mapPartitions(smallStarStream)
         .toDF("u", "v")
@@ -184,6 +193,12 @@ object Components {
         .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
         .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v")))
 
+    // ~1M symmetrized 16-byte edge rows per round task (streaming passes
+    // process tens of millions of rows/s/task, so this keeps task wall time
+    // in the tens-to-hundreds of ms); capped at 4x cluster parallelism
+    val roundPartitions = math.max(1L, math.min(
+      sc.defaultParallelism.toLong * 4, fpOut._1 / 500000L + 1)).toInt
+
     var rounds = 0
     var fpInPrev: Option[(Long, Long, Long)] = None
     var converged = fpOut._1 == 0L // empty input: already done
@@ -191,7 +206,7 @@ object Components {
       val fpAcc = new FingerprintAcc
       sc.register(fpAcc, "cc-input-set-fingerprint")
       val prev = edges
-      val (next, nextFpOut) = truncate(round(prev, fpAcc))
+      val (next, nextFpOut) = truncate(round(prev, fpAcc, roundPartitions))
       rounds += 1
       val fpIn = collapse(fpAcc.value)
       // fast path: output multiset unchanged => set unchanged => fixpoint.

@@ -124,6 +124,11 @@ object Dedup {
     * on `droppedBuckets` or the auto-registered `dedup.dropped.minhash`
     * accumulator, UI-visible); a nonzero count means candidates were lost and
     * the cap (or an upstream [[exactDuplicates]] pass) needs revisiting.
+    *
+    * `carryText = true` additionally exposes the verify join's `text_a` /
+    * `text_b` columns (already materialized for the Jaccard step — zero extra
+    * shuffle), so callers that post-filter on the texts (e.g. the exact
+    * text-equality finisher) don't pay two more corpus joins.
     */
   def minhashCandidates(
       df: DataFrame,
@@ -134,7 +139,9 @@ object Dedup {
       shingle: Int = 5,
       minJaccard: Double = 0.5,
       maxBucket: Int = 4096,
-      droppedBuckets: Option[vps.geom.ErrorChannel] = None): DataFrame = {
+      droppedBuckets: Option[vps.geom.ErrorChannel] = None,
+      carryText: Boolean = false): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
     val texts = df.select(col(idCol).as("id"), col(textCol).as("text"))
     // band buckets computed in one expression pass (see MinHashBands)
     val banded = texts.select(col("id"),
@@ -144,26 +151,33 @@ object Dedup {
     // signatures are computed exactly once per document (a banded self-join
     // evaluates its own scan per side — ReuseExchange does not fire across the
     // alias); bucket state is bounded at maxBucket and capped-out buckets are
-    // dropped + counted (see the object doc)
+    // dropped + counted (see the object doc). The EXPLICIT repartition pins
+    // the bucket-agg + pair-generate stage at task parallelism: the 16-byte
+    // band rows are tiny, so AQE's byte-based coalescing would otherwise
+    // funnel the whole stage into one task (measured 300-580 ms serialized
+    // at bench SF); the groupBy reuses the same hash partitioning, so the
+    // exchange count is unchanged.
     val pairs = banded
+      .repartition(parallelism, col("band"), col("bucket"))
       .groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_capped(col("id"), maxBucket)).as("ids"))
       .where(not_dropped(col("ids"), dropChannel(df, "minhash", droppedBuckets)))
       .select(explode(array_pairs(col("ids"))).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
-      .distinct()
 
-    // re-spread before the CPU-heavy exact verify: the candidate-pair rows are
-    // tiny (16 bytes), so AQE's byte-based coalescing would funnel them into a
-    // handful of partitions and serialize the jaccard computation; one extra
-    // pass over id pairs is noise next to the verify itself
+    // pair-dedupe ON the verify spread: repartition first, so the distinct's
+    // final aggregation reuses the exchange (one shuffle, not two) and the
+    // CPU-heavy exact verify downstream stays spread at task parallelism
+    // instead of AQE-funneled into a handful of tasks
     pairs
-      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id_a"), col("id_b"))
+      .repartition(parallelism, col("id_a"), col("id_b"))
+      .distinct()
       .join(texts.select(col("id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
       .join(texts.select(col("id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
       .withColumn("jaccard", ngram_jaccard(col("text_a"), col("text_b"), shingle))
       .where(col("jaccard") >= minJaccard)
-      .select("id_a", "id_b", "jaccard")
+      .select((col("id_a") +: col("id_b") +: col("jaccard") +:
+        (if (carryText) Seq(col("text_a"), col("text_b")) else Nil)): _*)
   }
 
   /** Substring-level candidate pairs via winnowing fingerprints
@@ -189,13 +203,19 @@ object Dedup {
       minShared: Int = 8,
       maxBucket: Int = 64,
       droppedBuckets: Option[vps.geom.ErrorChannel] = None): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
     val fps = df.select(col(idCol).as("id"),
       explode(winnow_fingerprints(col(textCol), k, w)).as("fp"))
-    fps.groupBy(col("fp"))
+    // explicit repartitions pin both post-shuffle stages at task parallelism
+    // (anti-AQE-funneling, see minhashCandidates); the groupBys reuse the
+    // partitioning, so it is still exactly two exchanges
+    fps.repartition(parallelism, col("fp"))
+      .groupBy(col("fp"))
       .agg(sort_array(collect_capped(col("id"), maxBucket)).as("ids"))
       .where(not_dropped(col("ids"), dropChannel(df, "winnow", droppedBuckets)))
       .select(explode(array_pairs(col("ids"))).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .repartition(parallelism, col("id_a"), col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared_fps"))
       .where(col("shared_fps") >= minShared)
@@ -262,22 +282,29 @@ object Dedup {
       maxHamming: Int = 3,
       maxBucket: Int = 4096,
       droppedBuckets: Option[vps.geom.ErrorChannel] = None): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
     val withBands = df.select(col(idCol).as("id"), simhash_bands(col(textCol)).as("sb"))
     val banded = withBands.select(
       struct(col("id"), element_at(col("sb"), 1).as("sig")).as("e"),
       posexplode(slice(col("sb"), 2, 4)).as(Seq("band", "bucket")))
     // one shuffle + in-bucket pair generation (see minhash); the 8-byte sig
     // rides along inside the (id, sig) struct so the hamming verify needs no
-    // join back; bucket state bounded at maxBucket (see the object doc)
+    // join back; bucket state bounded at maxBucket (see the object doc).
+    // Explicit repartitions pin both post-shuffle stages at task parallelism
+    // (anti-AQE-funneling) and the hamming filter runs BEFORE the dedupe so
+    // the distinct only sees surviving pairs; filter-then-distinct ==
+    // distinct-then-filter on identical rows.
     banded
+      .repartition(parallelism, col("band"), col("bucket"))
       .groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_capped(col("e"), maxBucket)).as("es"))
       .where(not_dropped(col("es"), dropChannel(df, "simhash", droppedBuckets)))
       .select(explode(array_pairs(col("es"))).as("p"))
       .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
         bit_count(col("p.a.sig").bitwiseXOR(col("p.b.sig"))).as("hamming"))
-      .distinct()
       .where(col("hamming") <= maxHamming)
+      .repartition(parallelism, col("id_a"), col("id_b"))
+      .distinct()
   }
 
   /** Embedding cosine near-duplicates via multi-band random hyperplane LSH.
@@ -303,21 +330,25 @@ object Dedup {
       rowsPerBand: Int = 16,
       maxBucket: Int = 4096,
       droppedBuckets: Option[vps.geom.ErrorChannel] = None): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     val banded = vecs.select(col("id"),
       posexplode(hyperplane_bands(col("v"), bands, rowsPerBand)).as(Seq("band", "bucket")))
     // one shuffle + in-bucket pair generation (see minhash); bucket state
-    // bounded at maxBucket (see the object doc)
+    // bounded at maxBucket (see the object doc); explicit repartition pins
+    // the bucket stage at task parallelism (anti-AQE-funneling)
     val pairs = banded
+      .repartition(parallelism, col("band"), col("bucket"))
       .groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_capped(col("id"), maxBucket)).as("ids"))
       .where(not_dropped(col("ids"), dropChannel(df, "embedding", droppedBuckets)))
       .select(explode(array_pairs(col("ids"))).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
-      .distinct()
-    // re-spread tiny pair rows before the verify (see minhashCandidates)
+    // pair-dedupe on the verify spread: one exchange, distinct's final agg
+    // reuses it, and the exact-cosine verify stays spread (see minhash)
     pairs
-      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id_a"), col("id_b"))
+      .repartition(parallelism, col("id_a"), col("id_b"))
+      .distinct()
       .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
       .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .withColumn("cosine", cosine_sim(col("v_a"), col("v_b")))

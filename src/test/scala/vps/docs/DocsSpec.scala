@@ -39,6 +39,42 @@ class DocsSpec extends AnyFunSuite {
     assert(again.select("doc_id", "span_offset").except(geo.select("doc_id", "span_offset")).count() === 0)
   }
 
+  test("geoSpansDirect: bit-exact to the closed-form (oracle) coordinates; " +
+      "span path within float noise") {
+    import vps.sql.functions.{st_x, st_y}
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"id", $"span_offset", st_x($"geom").as("x"), st_y($"geom").as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(t => (t._2, t._3))
+    val d = rows(InterleavedDocs.geoSpansDirect(spark, sfDir))
+    val sp = rows(InterleavedDocs.extractGeoSpans(InterleavedDocs.fromDocuments(spark, sfDir)))
+    assert(d.length === sp.length)
+    // the direct path IS the oracle's arithmetic: same IEEE ops, bit-for-bit
+    d.foreach { case (docId, id, off, x, y) =>
+      assert(docId === s"doc$id")
+      val (ex, ey) =
+        if (off == 1) ((id * 9973L % 3600000L) / 10000.0 - 180.0,
+          (id * 6151L % 1600000L) / 10000.0 - 80.0)
+        else (((id * 7919L + 104729L) % 3600000L) / 10000.0 - 180.0,
+          ((id * 4093L + 15485L) % 1600000L) / 10000.0 - 80.0)
+      assert(java.lang.Double.doubleToRawLongBits(x) ===
+        java.lang.Double.doubleToRawLongBits(ex), s"x id=$id off=$off")
+      assert(java.lang.Double.doubleToRawLongBits(y) ===
+        java.lang.Double.doubleToRawLongBits(ey), s"y id=$id off=$off")
+    }
+    // the WKT format/parse round trip drifts by a few ulps from the closed
+    // form (%.4f is exact for the 1e-4-grid values; the parse returns the
+    // nearest double to that decimal, the direct path the composed IEEE
+    // result) — and never at a discretization boundary, because grid values
+    // on integer/tile boundaries are exactly representable and both paths
+    // compute them exactly (this is why BOTH paths are oracle-green)
+    d.zip(sp).foreach { case ((_, id, off, dx, dy), (_, id2, off2, sx, sy)) =>
+      assert(id === id2 && off === off2)
+      assert(math.abs(dx - sx) <= 1e-9, s"x drift id=$id")
+      assert(math.abs(dy - sy) <= 1e-9, s"y drift id=$id")
+    }
+  }
+
   test("replication scales row count with distinct ids") {
     val docs = InterleavedDocs.fromDocuments(spark, sfDir, replication = 4)
     assert(docs.count() === 2000)
