@@ -45,7 +45,7 @@ object BenchExtra {
     spark.sparkContext.setLogLevel("WARN")
 
     // per-stage wall times, cleared between queries
-    val stages = ArrayBuffer[(Int, String, Long, Int)]() // id, name, ms, tasks
+    val stages = ArrayBuffer[(Int, String, Long, Int, Long, Long)]() // id, name, ms, tasks, runMs, cpuMs
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val info = sc.stageInfo
@@ -55,8 +55,10 @@ object BenchExtra {
         // operator attribution: RDD scope names inside the stage (AQE stage
         // callsites are all CompletableFuture noise)
         val scopes = info.rddInfos.flatMap(_.scope).map(_.name).distinct.mkString(" | ")
+        val m = info.taskMetrics
         stages.synchronized {
-          stages += ((info.stageId, scopes.take(120), ms, info.numTasks))
+          stages += ((info.stageId, scopes.take(110), ms, info.numTasks,
+            m.executorRunTime, m.executorCpuTime / 1000000L))
         }
       }
     })
@@ -86,8 +88,8 @@ object BenchExtra {
       println(f"[benchextra] $name%-24s best=$best%7.3f  runs=${secs.map(s => f"$s%.3f").mkString(",")}")
       // stage breakdown of the measured (non-warm) runs, heaviest first
       val top = stages.synchronized(stages.toVector).sortBy(-_._3).take(8)
-      top.foreach { case (id, n, ms, t) =>
-        println(f"[benchextra]   stage $id%4d $ms%6d ms  $t%4d tasks  $n")
+      top.foreach { case (id, n, ms, t, run, cpu) =>
+        println(f"[benchextra]   stage $id%4d $ms%6d ms  $t%4d tasks  run=$run%6d cpu=$cpu%6d  $n")
       }
     }
     spark.stop()

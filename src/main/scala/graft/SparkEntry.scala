@@ -100,11 +100,28 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Size-gated spread of a fact-table scan (docsT's pattern): the test-SF
+    * parquet is a couple of input splits, which serializes scan-fused
+    * aggregation/window work on a handful of cores; a production-scale table
+    * already splits past `parallelism` and pays nothing here. Hash spread on
+    * a real column (round-robin would pay the sort-before-repartition pass).
+    */
+  private def spreadT(dir: String, name: String, key: String)
+      (implicit spark: SparkSession): DataFrame = {
+    val df = t(dir, name)
+    val parallelism = spark.sparkContext.defaultParallelism
+    val maxSplitBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    val scanBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (scanBytes < BigInt(maxSplitBytes) * parallelism)
+      df.repartition(parallelism, col(key))
+    else df
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- general query capability over the TPC-H-ish tables ----
     "q01_agg" -> ((s, dir) => {
       implicit val spark = s
-      t(dir, "lineitem")
+      spreadT(dir, "lineitem", "l_orderkey")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity").cast("long")).as("sum_qty"),
@@ -115,7 +132,7 @@ object SparkEntry {
     }),
     "q02_join_agg" -> ((s, dir) => {
       implicit val spark = s
-      t(dir, "lineitem")
+      spreadT(dir, "lineitem", "l_orderkey")
         .join(broadcast(t(dir, "orders")), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(
@@ -127,7 +144,10 @@ object SparkEntry {
     "q03_window_topn" -> ((s, dir) => {
       implicit val spark = s
       val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      t(dir, "orders")
+      // the window requires hashpartitioning(o_custkey); the explicit spread
+      // IS that exchange at task parallelism (AQE would funnel the 2.6 MB
+      // shuffle into 1-2 tasks and serialize the sort+window)
+      spreadT(dir, "orders", "o_custkey")
         .withColumn("rn", row_number().over(w))
         .where(col("rn") <= 3)
         .select(col("o_custkey"), col("o_orderkey"), col("rn"))

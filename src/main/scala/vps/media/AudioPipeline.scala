@@ -114,10 +114,45 @@ object AudioPipeline {
     }(Encoders.row(outSchema))
   }
 
+  /** The JDK's `AudioFileReader` providers, resolved ONCE per JVM.
+    * `AudioSystem.getAudioInputStream` re-runs the provider lookup on every
+    * call through a synchronized JDK-internal service registry — at 32
+    * decode threads that lock serializes the whole stage (measured: stage
+    * wall 17 s vs 0.8 s of actual CPU at bench SF). Iterating the same
+    * provider list directly is AudioSystem's own algorithm (first reader
+    * that accepts the stream wins; all-fail == UnsupportedAudioFileException)
+    * with the lookup hoisted.
+    */
+  private lazy val audioReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    val all = java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader],
+      classOf[javax.sound.sampled.AudioSystem].getClassLoader).asScala.toList
+    // WAVE readers first, MIDI-backed last: each reader accepts a disjoint
+    // container format, so probe ORDER never changes which bytes decode —
+    // but the JDK's SoftMidiAudioFileReader re-enters the synchronized MIDI
+    // provider registry on EVERY probe (thread-dump sampled: 556/583 decode
+    // threads BLOCKED in MidiSystem.getMidiFileReaders), so it must not sit
+    // in front of the hot WAV path.
+    val (midi, rest) = all.partition(_.getClass.getName.toLowerCase.contains("midi"))
+    val (wave, other) = rest.partition(_.getClass.getName.toLowerCase.contains("wave"))
+    wave ++ other ++ midi
+  }
+
+  private def audioStreamFor(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    val it = audioReaders.iterator
+    while (it.hasNext) {
+      val r = it.next()
+      try {
+        return r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      } catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "Stream of unsupported format")
+  }
+
   private def decodeOne(bytes: Array[Byte]): Option[(Int, Int, Int, Long, Int, Double)] =
     try {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
+      val in = audioStreamFor(bytes)
       try {
         val fmt = in.getFormat
         val rate = fmt.getSampleRate.toInt

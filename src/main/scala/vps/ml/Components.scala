@@ -188,34 +188,53 @@ object Components {
         .toDF("u", "v")
     }
 
-    var (edges, fpOut) = truncate(
+    // The normalized input feeds round 1 DIRECTLY (no warm-up checkpoint):
+    // round 1's first exchange evaluates the caller's pair pipeline exactly
+    // once — the same single evaluation a dedicated initial materialization
+    // paid, minus one full write+read+job. Round-1 convergence is detected
+    // against the INPUT SET fingerprint the large-star pass computes on the
+    // fly: output-multiset == input-set (192-bit (count, xor, sum) match)
+    // means the round emitted exactly the deduplicated input — a fixpoint.
+    var edges =
       pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
         .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
-        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v")))
+        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+    var edgesIsCheckpoint = false
+    var fpOut: Option[(Long, Long, Long)] = None
 
     // ~1M symmetrized 16-byte edge rows per round task (streaming passes
     // process tens of millions of rows/s/task, so this keeps task wall time
-    // in the tens-to-hundreds of ms); capped at 4x cluster parallelism
-    val roundPartitions = math.max(1L, math.min(
-      sc.defaultParallelism.toLong * 4, fpOut._1 / 500000L + 1)).toInt
+    // in the tens-to-hundreds of ms); capped at 4x cluster parallelism.
+    // The edge count is only measured by round 1's large-star pass, so
+    // round 1 runs at cluster parallelism and rounds 2+ adapt.
+    var roundPartitions = math.max(1, sc.defaultParallelism)
 
     var rounds = 0
     var fpInPrev: Option[(Long, Long, Long)] = None
-    var converged = fpOut._1 == 0L // empty input: already done
+    var converged = false
     while (!converged && rounds < maxRounds) {
       val fpAcc = new FingerprintAcc
       sc.register(fpAcc, "cc-input-set-fingerprint")
       val prev = edges
+      val prevWasCheckpoint = edgesIsCheckpoint
       val (next, nextFpOut) = truncate(round(prev, fpAcc, roundPartitions))
       rounds += 1
       val fpIn = collapse(fpAcc.value)
-      // fast path: output multiset unchanged => set unchanged => fixpoint.
+      if (rounds == 1) {
+        roundPartitions = math.max(1L, math.min(
+          sc.defaultParallelism.toLong * 4, fpIn._1 / 500000L + 1)).toInt
+      }
+      // fast path: output multiset unchanged (vs the previous checkpoint, or
+      // vs the round-1 input SET — at a fixpoint the output is duplicate-free,
+      // so multiset == set) => set unchanged => fixpoint.
       // backstop: input set == previous round's input set => the previous
       // round was a no-op; `next` equals it as a set and is kept.
-      converged = nextFpOut == fpOut || fpInPrev.contains(fpIn)
-      release(prev)
+      converged = fpOut.contains(nextFpOut) || fpOut.isEmpty && nextFpOut == fpIn ||
+        fpInPrev.contains(fpIn)
+      if (prevWasCheckpoint) release(prev)
       edges = next
-      fpOut = nextFpOut
+      edgesIsCheckpoint = true
+      fpOut = Some(nextFpOut)
       fpInPrev = Some(fpIn)
     }
     require(converged, s"connectedComponents did not converge in $maxRounds rounds " +

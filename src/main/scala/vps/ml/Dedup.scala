@@ -168,13 +168,30 @@ object Dedup {
     // pair-dedupe ON the verify spread: repartition first, so the distinct's
     // final aggregation reuses the exchange (one shuffle, not two) and the
     // CPU-heavy exact verify downstream stays spread at task parallelism
-    // instead of AQE-funneled into a handful of tasks
+    // instead of AQE-funneled into a handful of tasks.
+    //
+    // The exact-Jaccard verify joins each side's PRE-COMPUTED sorted shingle
+    // set (char_shingles, evaluated once per document where the join side is
+    // built) and intersects with one linear merge per pair
+    // (`array_jaccard(char_shingles(a), char_shingles(b)) ==
+    // ngram_jaccard(a, b)` by definition — same distinct-shingle sets).
+    // Re-shingling text per candidate pair measured ~12 s of stage CPU at
+    // bench SF (candidate degree > 1 defeats the per-thread memo cache);
+    // the trade is ~8 bytes/char of join payload instead of ~1 — and the
+    // per-pair CPU drops ~50x, which dominates at every scale since the LSH
+    // band shuffle, not the verify join, is the byte-heavy leg.
+    val aSide = texts.select((col("id").as("id_a") +:
+      char_shingles(col("text"), shingle).as("sh_a") +:
+      (if (carryText) Seq(col("text").as("text_a")) else Nil)): _*)
+    val bSide = texts.select((col("id").as("id_b") +:
+      char_shingles(col("text"), shingle).as("sh_b") +:
+      (if (carryText) Seq(col("text").as("text_b")) else Nil)): _*)
     pairs
       .repartition(parallelism, col("id_a"), col("id_b"))
       .distinct()
-      .join(texts.select(col("id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
-      .join(texts.select(col("id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
-      .withColumn("jaccard", ngram_jaccard(col("text_a"), col("text_b"), shingle))
+      .join(aSide, Seq("id_a"))
+      .join(bSide, Seq("id_b"))
+      .withColumn("jaccard", array_jaccard(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= minJaccard)
       .select((col("id_a") +: col("id_b") +: col("jaccard") +:
         (if (carryText) Seq(col("text_a"), col("text_b")) else Nil)): _*)

@@ -170,9 +170,11 @@ object TextOps {
   /** Exact n-gram Jaccard similarity between two strings (distinct shingles),
     * via sorted-array merge intersection.
     */
-  def jaccard(a: String, b: String, shingle: Int): Double = {
-    val sa = cachedSortedShingles(a, shingle)
-    val sb = cachedSortedShingles(b, shingle)
+  def jaccard(a: String, b: String, shingle: Int): Double =
+    jaccardSorted(cachedSortedShingles(a, shingle), cachedSortedShingles(b, shingle))
+
+  /** Jaccard of two sorted distinct-long arrays (merge intersection). */
+  def jaccardSorted(sa: Array[Long], sb: Array[Long]): Double = {
     if (sa.isEmpty && sb.isEmpty) return 1.0
     var i = 0; var j = 0; var inter = 0
     while (i < sa.length && j < sb.length) {
@@ -291,6 +293,27 @@ case class NgramJaccard(first: Expression, second: Expression, third: Expression
       n.asInstanceOf[Int])
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
     copy(f, s, t)
+}
+
+/** Exact Jaccard over two PRE-COMPUTED sorted distinct-shingle arrays (the
+  * [[CharShingles]] output): one linear merge intersection per pair. By
+  * definition `array_jaccard(char_shingles(a, k), char_shingles(b, k)) ==
+  * ngram_jaccard(a, b, k)` — same sets, same ratio — but the per-document
+  * shingle set is computed ONCE where the array column is materialized
+  * (e.g. a verify join's build side) instead of re-derived from text for
+  * every candidate pair; the LSH verify at bench SF measured ~12 s of CPU
+  * re-shingling behind a thrashing memo cache.
+  */
+case class ArrayJaccard(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val sa = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    val sb = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    TextOps.jaccardSorted(sa, sb)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
 }
 
 /** Distinct sorted char n-gram hashes (array<long>) — the exact-overlap key
@@ -848,6 +871,7 @@ object functions {
   def simhash_bands(text: Column): Column = c(SimHashBands(ex(text)))
   def ngram_jaccard(a: Column, b: Column, shingle: Int): Column =
     c(NgramJaccard(ex(a), ex(b), ex(lit(shingle))))
+  def array_jaccard(a: Column, b: Column): Column = c(ArrayJaccard(ex(a), ex(b)))
   def doc_fingerprint(text: Column): Column = c(DocFingerprint(ex(text)))
   def winnow_fingerprints(text: Column, k: Int, w: Int): Column =
     c(WinnowFingerprints(ex(text), ex(lit(k)), ex(lit(w))))
