@@ -32,12 +32,23 @@ object LineDedup {
   /** Documents with boilerplate lines removed: (id, text, n_kept, n_dropped).
     * Line order inside each document is preserved; documents whose every
     * line was boilerplate come back with empty text (n_kept = 0).
+    *
+    * The anti-join against the boilerplate set is deliberately UNHINTED: the
+    * df >= minDocFreq line set is NOT bounded by a constant (every common
+    * sentence qualifies as the corpus grows — at web scale it is billions of
+    * lines), so a forced broadcast is a driver OOM waiting to happen. The
+    * boilerplate side sits behind its aggregation exchange, so AQE sees its
+    * ACTUAL runtime size and picks the broadcast anti-join whenever it fits
+    * (the test-SF plan is unchanged) and a shuffled anti-join when it does
+    * not — the size-gated fallback with the gate evaluated on real bytes
+    * rather than a driver-side probe action. Both paths are byte-identical
+    * (LineDedupSpec forces the shuffled plan and compares).
     */
   def dropBoilerplate(
       df: DataFrame, idCol: String, textCol: String, minDocFreq: Long): DataFrame = {
     val lines = explodeLines(df, idCol, textCol)
     val boiler = boilerplateLines(lines, idCol, minDocFreq)
-    val kept = lines.join(broadcast(boiler.select(col("line"))), Seq("line"), "left_anti")
+    val kept = lines.join(boiler.select(col("line")), Seq("line"), "left_anti")
     val reassembled = kept
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("pos"), col("line")))).as("ordered"))

@@ -89,15 +89,22 @@ object TextOps {
   def minhash(s: String, numHashes: Int, shingle: Int): Array[Long] = {
     val sig = Array.fill(numHashes)(Long.MaxValue)
     val sh = charShingles(s, shingle)
-    var i = 0
-    while (i < sh.length) {
-      var j = 0
-      while (j < numHashes) {
-        val h = mix64(sh(i) ^ (j * 0xa54ff53a5f1d36f1L))
-        if (h < sig(j)) sig(j) = h
-        j += 1
+    // lane-outer loop: the running minimum lives in a register instead of a
+    // per-shingle array load/store, and the shingle array (L1/L2-resident for
+    // normal documents) streams once per lane — same mix64(shingle ^ seed_j)
+    // values, same minima, bit-identical signature
+    var j = 0
+    while (j < numHashes) {
+      val seed = j * 0xa54ff53a5f1d36f1L
+      var m = Long.MaxValue
+      var i = 0
+      while (i < sh.length) {
+        val h = mix64(sh(i) ^ seed)
+        if (h < m) m = h
+        i += 1
       }
-      i += 1
+      sig(j) = m
+      j += 1
     }
     sig
   }
@@ -530,8 +537,14 @@ case class KeepSmallest(
     val k = key.eval(input)
     val i = id.eval(input)
     if (k != null && i != null) {
-      // non-negative doubles compare identically to their raw bit patterns
-      val kb = java.lang.Double.doubleToRawLongBits(k.asInstanceOf[Double])
+      // total-order transform: non-negative doubles compare identically to
+      // their raw bit patterns (unchanged); negative doubles have REVERSED
+      // bit order, so mirror them below zero (Long.MinValue - bits) — the
+      // public keep_smallest(key, id, cap) contract accepts any double key,
+      // not just the hash_uniform [0,1) internal callers pass. (-0.0 maps to
+      // +0.0's slot, matching IEEE ==; NaN sorts last, above +Infinity.)
+      val kb0 = java.lang.Double.doubleToRawLongBits(k.asInstanceOf[Double])
+      val kb = if (kb0 < 0) java.lang.Long.MIN_VALUE - kb0 else kb0
       b.offer(cap, kb, i.asInstanceOf[Long])
     }
     b

@@ -48,9 +48,39 @@ class LineDedupSpec extends AnyFunSuite {
     assert(got === want)
   }
 
-  test("boilerplate filter is a broadcast anti-join (corpus side never reshuffles)") {
-    val plan = LineDedup.dropBoilerplate(corpus, "id", "text", 3)
-      .queryExecution.executedPlan.toString
+  test("boilerplate filter is a broadcast anti-join when the set is small " +
+      "(AQE runtime size, no forced hint)") {
+    val df = LineDedup.dropBoilerplate(corpus, "id", "text", 3)
+    df.collect() // finalize AQE: the gate reads the boiler side's REAL bytes
+    val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+  }
+
+  test("over-threshold fallback: shuffled anti-join path is byte-identical") {
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    // force the boiler side over every broadcast threshold: the planner must
+    // take the shuffled anti-join (the 100-TB path, where the df>=minDocFreq
+    // line set outgrows the driver) and produce the identical result
+    keys.foreach(spark.conf.set(_, "-1"))
+    try {
+      val df = LineDedup.dropBoilerplate(corpus, "id", "text", 3)
+      val got = df.as[(Long, String, Long, Long)].collect().toSet
+      df.queryExecution.executedPlan // materialized above
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"), plan)
+      assert(plan.contains("LeftAnti"), plan)
+      val want = Set(
+        (1L, "unique one\nshared ad\ntail 1", 3L, 1L),
+        (2L, "unique two\nshared ad", 2L, 1L),
+        (3L, "unique three", 1L, 1L),
+        (4L, "only banner doc repeated", 1L, 2L),
+        (5L, "", 0L, 1L))
+      assert(got === want)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 }

@@ -118,6 +118,19 @@ class UrlOpsSpec extends AnyFunSuite {
       s"expected partial+final ObjectHashAggregate:\n$plan")
   }
 
+  test("keep_smallest orders NEGATIVE keys correctly (public any-double contract)") {
+    // raw doubleToRawLongBits order is reversed for negatives; the sign-mirror
+    // transform must make keep_smallest agree with plain double ordering
+    val rows = Seq((-3.5, 1L), (-0.25, 2L), (0.0, 3L), (1.5, 4L), (-7.0, 5L), (0.75, 6L))
+    val df = rows.toDF("k", "id")
+    val kept = df.groupBy().agg(
+        vps.text.functions.keep_smallest($"k", $"id", 3).as("ids"))
+      .select(org.apache.spark.sql.functions.explode($"ids").as("id"))
+      .as[Long].collect().toSet
+    val want = rows.sortBy(_._1).take(3).map(_._2).toSet // -7.0, -3.5, -0.25
+    assert(kept === want)
+  }
+
   test("domainCapAudit reports kept/dropped arithmetic") {
     val audit = UrlOps.domainCapAudit(skewed, "domain", "rid", 5)
       .as[(String, Long, Long, Long)].collect()
