@@ -224,12 +224,14 @@ object Components {
         roundPartitions = math.max(1L, math.min(
           sc.defaultParallelism.toLong * 4, fpIn._1 / 500000L + 1)).toInt
       }
-      // fast path: output multiset unchanged (vs the previous checkpoint, or
-      // vs the round-1 input SET — at a fixpoint the output is duplicate-free,
-      // so multiset == set) => set unchanged => fixpoint.
+      // fast path: this round's output multiset == this round's input SET —
+      // at a fixpoint the emissions are duplicate-free, so multiset == set —
+      // means the round changed nothing: a fixpoint, detected even when the
+      // round's INPUT still carried duplicate rows (one round earlier than
+      // comparing consecutive output multisets, which also remains below).
       // backstop: input set == previous round's input set => the previous
       // round was a no-op; `next` equals it as a set and is kept.
-      converged = fpOut.contains(nextFpOut) || fpOut.isEmpty && nextFpOut == fpIn ||
+      converged = nextFpOut == fpIn || fpOut.contains(nextFpOut) ||
         fpInPrev.contains(fpIn)
       if (prevWasCheckpoint) release(prev)
       edges = next
