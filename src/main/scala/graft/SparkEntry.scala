@@ -119,9 +119,13 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- general query capability over the TPC-H-ish tables ----
+    // NOT spread: the scan-fused partial aggregation collapses 600k rows to a
+    // handful of groups BEFORE any exchange (guide §2.3 "aggregate before you
+    // shuffle") — an up-front spread would shuffle the full table first and
+    // measured ~0.2 s slower in-suite
     "q01_agg" -> ((s, dir) => {
       implicit val spark = s
-      spreadT(dir, "lineitem", "l_orderkey")
+      t(dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity").cast("long")).as("sum_qty"),
