@@ -90,22 +90,27 @@ object Components {
     val sc = spark.sparkContext
     val reliable = sc.getCheckpointDir.isDefined
 
-    // Edge rows are 16 bytes, so AQE's byte-based coalescing funnels the
-    // per-round exchanges into a handful of partitions at the 64 MB default
-    // advisory size, serializing the streaming star passes. Scope a smaller
-    // advisory size to this loop and restore the caller's setting.
-    val advisoryKey = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
-    val prevAdvisory = spark.conf.getOption(advisoryKey)
-    spark.conf.set(advisoryKey, "8m")
+    // From round 2 on, every exchange inside the loop is an EXPLICIT
+    // repartition whose count derives from the measured edge volume, and the
+    // inputs are plain checkpoint scans — adaptive execution has nothing
+    // left to decide there but still charges per-round planning and
+    // per-stage materialization jobs. runStars flips AQE off once round 1
+    // has completed (round 1 evaluates the CALLER's pair pipeline, which may
+    // rely on AQE's runtime broadcast conversions) and this finally restores
+    // the caller's setting; the returned membership frame is evaluated after
+    // the restore and keeps the caller's execution mode.
+    val prevAdaptive = spark.conf.getOption(AdaptiveKey)
     try {
       runStars(pairs, aCol, bCol, maxRounds, reliable)
     } finally {
-      prevAdvisory match {
-        case Some(v) => spark.conf.set(advisoryKey, v)
-        case None => spark.conf.unset(advisoryKey)
+      prevAdaptive match {
+        case Some(v) => spark.conf.set(AdaptiveKey, v)
+        case None => spark.conf.unset(AdaptiveKey)
       }
     }
   }
+
+  private val AdaptiveKey = "spark.sql.adaptive.enabled"
 
   private def runStars(
       pairs: DataFrame,
@@ -223,6 +228,10 @@ object Components {
       if (rounds == 1) {
         roundPartitions = math.max(1L, math.min(
           sc.defaultParallelism.toLong * 4, fpIn._1 / 500000L + 1)).toInt
+        // rounds 2+ are explicit-width exchanges over checkpoint scans: AQE
+        // has nothing to adapt, only per-round overhead (restored by the
+        // caller's finally)
+        spark.conf.set(AdaptiveKey, "false")
       }
       // fast path: this round's output multiset == this round's input SET —
       // at a fixpoint the emissions are duplicate-free, so multiset == set —
