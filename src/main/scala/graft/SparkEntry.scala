@@ -872,8 +872,13 @@ object SparkEntry {
     // shuffle aggregates hit rows. Same shingle pipeline as MinHash, so the
     // oracle replays it in splitmix64-HUGEINT SQL ----
     "q51_decontam" -> ((s, dir) => {
+      implicit val spark = s
       val docs = docsT(s, dir)
-      val eval = docs.where(col("doc_id") % 50 === 0).select(col("text"))
+      // eval side reads the RAW scan (no spread): it keeps 1-in-50 docs and
+      // its shingle kernel is trivial, so the docsT repartition exchange +
+      // 32-task stage was pure overhead on this branch; the train side keeps
+      // the spread for its 15M-row gram explode
+      val eval = t(dir, "documents").where(col("doc_id") % 50 === 0).select(col("text"))
       vps.ml.Decontam.contaminatedDocs(docs, eval, idCol = "doc_id", textCol = "text", n = 13)
         .select(col("id").as("doc_id"), col("n_hits"))
         .orderBy("doc_id")
