@@ -79,12 +79,17 @@ object BenchExtra {
       try out.println(planTxt) finally out.close()
 
       df.count() // warm JIT/codegen, finalize AQE
+      // listener events are delivered async: give the bus a beat before
+      // clearing (and again before reading) so warm-run stages don't bleed
+      // into the measured breakdown and the last measured stage isn't missed
+      Thread.sleep(200)
       stages.synchronized(stages.clear())
       val secs = (1 to runs).map { i =>
         spark.sparkContext.setJobDescription(s"$name run$i")
         time(fn(spark, sfDir).count())._2
       }
       val best = secs.min
+      Thread.sleep(200)
       println(f"[benchextra] $name%-24s best=$best%7.3f  runs=${secs.map(s => f"$s%.3f").mkString(",")}")
       // stage breakdown of the measured (non-warm) runs, heaviest first
       val top = stages.synchronized(stages.toVector).sortBy(-_._3).take(8)

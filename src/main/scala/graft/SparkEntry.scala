@@ -38,10 +38,11 @@ object SparkEntry {
   }
 
   /** Geo points extracted from interleaved-doc spans (the engine's input).
-    * Fused generator path: identical rows to
-    * `extractGeoSpans(fromDocuments(...))` (bit-equality gated by
-    * InterleavedDocsSpec) without building span arrays, reading document
-    * text, or round-tripping coordinates through WKT.
+    * Fused generator path: same rows as `extractGeoSpans(fromDocuments(...))`
+    * with coordinates bit-exact to the ORACLE's closed-form arithmetic
+    * (DocsSpec gates that, plus the bounded last-ulp drift vs the WKT
+    * span path) — and no span arrays, no document-text read, no WKT
+    * format/parse round trip.
     */
   private def geoPoints(spark: SparkSession, dir: String): DataFrame = {
     vps.geom.Geo.registerUDTs()

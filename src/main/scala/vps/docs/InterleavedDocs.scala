@@ -98,9 +98,12 @@ object InterleavedDocs {
     * read (the scan prunes to `doc_id`), and the WKT format/parse round trip
     * is gone — the point geometry comes straight from the closed-form
     * coordinates. The coordinate arithmetic is IDENTICAL to the formulas the
-    * WKT path formats (and the SQL oracle recomputes), and `%.4f` formatting
-    * is exact for the 1e-4-grid values, so the geometries are bit-equal to
-    * the span path (gated by InterleavedDocsSpec). Use for query pipelines
+    * SQL oracle recomputes (bit-exact, DocsSpec-gated); the WKT
+    * format/parse round trip of the span path drifts from that closed form
+    * by a few ulps — never across a discretization boundary, boundary
+    * values being exactly representable — so the two paths agree on every
+    * derived/rounded value while differing in last-ulp raw bits
+    * (DocsSpec bounds the drift). Use for query pipelines
     * that only consume geo spans; [[extractGeoSpans]] stays the generic path
     * for arbitrary span frames.
     */

@@ -125,8 +125,13 @@ object AudioPipeline {
     */
   private lazy val audioReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
     import scala.jdk.CollectionConverters._
-    val all = java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader],
-      classOf[javax.sound.sampled.AudioSystem].getClassLoader).asScala.toList
+    // thread-context classloader first (what AudioSystem's own lookup uses —
+    // on an executor it is the Spark user-jar loader, so SPI readers shipped
+    // via --jars keep working), JDK loader as fallback
+    val cl = Option(Thread.currentThread().getContextClassLoader)
+      .getOrElse(classOf[javax.sound.sampled.AudioSystem].getClassLoader)
+    val all = java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader], cl)
+      .asScala.toList
     // WAVE readers first, MIDI-backed last: each reader accepts a disjoint
     // container format, so probe ORDER never changes which bytes decode —
     // but the JDK's SoftMidiAudioFileReader re-enters the synchronized MIDI

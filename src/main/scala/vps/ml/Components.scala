@@ -90,27 +90,38 @@ object Components {
     val sc = spark.sparkContext
     val reliable = sc.getCheckpointDir.isDefined
 
-    // From round 2 on, every exchange inside the loop is an EXPLICIT
-    // repartition whose count derives from the measured edge volume, and the
-    // inputs are plain checkpoint scans — adaptive execution has nothing
-    // left to decide there but still charges per-round planning and
-    // per-stage materialization jobs. runStars flips AQE off once round 1
-    // has completed (round 1 evaluates the CALLER's pair pipeline, which may
-    // rely on AQE's runtime broadcast conversions) and this finally restores
-    // the caller's setting; the returned membership frame is evaluated after
-    // the restore and keeps the caller's execution mode.
-    val prevAdaptive = spark.conf.getOption(AdaptiveKey)
-    try {
-      runStars(pairs, aCol, bCol, maxRounds, reliable)
-    } finally {
-      prevAdaptive match {
+    runStars(pairs, aCol, bCol, maxRounds, reliable)
+  }
+
+  private val AdaptiveKey = "spark.sql.adaptive.enabled"
+  // Spark conf is session-global, so the per-round AQE flip (see
+  // withAqeDisabled) is serialized across concurrent connectedComponents
+  // calls in this JVM: set/act/restore happen as one atomic unit and can
+  // never interleave into a wrong final value.
+  private val aqeFlipLock = new Object
+
+  /** Runs `action` with adaptive execution disabled on `spark`, restoring the
+    * caller's setting before returning — scoped to exactly one round's
+    * materialization. From round 2 on, every exchange in the CC loop is an
+    * explicit-width repartition over a checkpoint scan: AQE has nothing left
+    * to decide there but still charges per-round planning plus one
+    * stage-materialization job per exchange (measured ~2x on the 19M-edge
+    * probe). Round 1 is NOT wrapped — it evaluates the caller's pair
+    * pipeline, which may rely on AQE's runtime broadcast conversions.
+    * Caveat (inherent to session-scoped conf): an unrelated query planned on
+    * the same session DURING a round's job still sees AQE off for that
+    * window.
+    */
+  private def withAqeDisabled[A](spark: org.apache.spark.sql.SparkSession)(action: => A): A =
+    aqeFlipLock.synchronized {
+      val prev = spark.conf.getOption(AdaptiveKey)
+      spark.conf.set(AdaptiveKey, "false")
+      try action
+      finally prev match {
         case Some(v) => spark.conf.set(AdaptiveKey, v)
         case None => spark.conf.unset(AdaptiveKey)
       }
     }
-  }
-
-  private val AdaptiveKey = "spark.sql.adaptive.enabled"
 
   private def runStars(
       pairs: DataFrame,
@@ -222,16 +233,14 @@ object Components {
       sc.register(fpAcc, "cc-input-set-fingerprint")
       val prev = edges
       val prevWasCheckpoint = edgesIsCheckpoint
-      val (next, nextFpOut) = truncate(round(prev, fpAcc, roundPartitions))
+      val (next, nextFpOut) =
+        if (rounds == 0) truncate(round(prev, fpAcc, roundPartitions))
+        else withAqeDisabled(spark)(truncate(round(prev, fpAcc, roundPartitions)))
       rounds += 1
       val fpIn = collapse(fpAcc.value)
       if (rounds == 1) {
         roundPartitions = math.max(1L, math.min(
           sc.defaultParallelism.toLong * 4, fpIn._1 / 500000L + 1)).toInt
-        // rounds 2+ are explicit-width exchanges over checkpoint scans: AQE
-        // has nothing to adapt, only per-round overhead (restored by the
-        // caller's finally)
-        spark.conf.set(AdaptiveKey, "false")
       }
       // fast path: this round's output multiset == this round's input SET —
       // at a fixpoint the emissions are duplicate-free, so multiset == set —

@@ -151,16 +151,18 @@ object Dedup {
     // signatures are computed exactly once per document (a banded self-join
     // evaluates its own scan per side — ReuseExchange does not fire across the
     // alias); bucket state is bounded at maxBucket and capped-out buckets are
-    // dropped + counted (see the object doc). The EXPLICIT repartition pins
-    // the bucket-agg + pair-generate stage at task parallelism: the 16-byte
-    // band rows are tiny, so AQE's byte-based coalescing would otherwise
-    // funnel the whole stage into one task (measured 300-580 ms serialized
-    // at bench SF); the groupBy reuses the same hash partitioning, so the
-    // exchange count is unchanged.
+    // dropped + counted (see the object doc). The groupBy keeps its partial
+    // (map-side) collect_capped BELOW the exchange — that bound is what keeps
+    // a mega-duplicate class from shipping its raw rows to one reducer — and
+    // the EXPLICIT repartition of the (already capped) bucket buffers then
+    // pins the pair-generate + downstream stage at task parallelism: the
+    // aggregated rows are small, so AQE's byte-based coalescing would
+    // otherwise funnel the whole stage into one task (measured 300-580 ms
+    // serialized at bench SF).
     val pairs = banded
-      .repartition(parallelism, col("band"), col("bucket"))
       .groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_capped(col("id"), maxBucket)).as("ids"))
+      .repartition(parallelism, col("band"), col("bucket"))
       .where(not_dropped(col("ids"), dropChannel(df, "minhash", droppedBuckets)))
       .select(explode(array_pairs(col("ids"))).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
@@ -168,7 +170,11 @@ object Dedup {
     // pair-dedupe ON the verify spread: repartition first, so the distinct's
     // final aggregation reuses the exchange (one shuffle, not two) and the
     // CPU-heavy exact verify downstream stays spread at task parallelism
-    // instead of AQE-funneled into a handful of tasks.
+    // instead of AQE-funneled into a handful of tasks. (The exchange carries
+    // un-deduped pairs, but unlike the band rows that stream is BOUNDED by
+    // construction: <= C(maxBucket, 2) per bucket with duplication <= the
+    // band count, so trading the map-side pre-dedup for one fewer exchange
+    // is safe at every scale.)
     //
     // The exact-Jaccard verify joins each side's PRE-COMPUTED sorted shingle
     // set (char_shingles, evaluated once per document where the join side is
@@ -223,12 +229,14 @@ object Dedup {
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
     val fps = df.select(col(idCol).as("id"),
       explode(winnow_fingerprints(col(textCol), k, w)).as("fp"))
-    // explicit repartitions pin both post-shuffle stages at task parallelism
-    // (anti-AQE-funneling, see minhashCandidates); the groupBys reuse the
-    // partitioning, so it is still exactly two exchanges
-    fps.repartition(parallelism, col("fp"))
-      .groupBy(col("fp"))
+    // partial (map-side) collect_capped stays BELOW the bucket exchange (the
+    // mega-bucket volume bound — see minhashCandidates); the explicit
+    // repartition of the capped buffers then pins the pair-generate stage at
+    // task parallelism (anti-AQE-funneling), and the pair-count groupBy
+    // reuses the second repartition's partitioning
+    fps.groupBy(col("fp"))
       .agg(sort_array(collect_capped(col("id"), maxBucket)).as("ids"))
+      .repartition(parallelism, col("fp"))
       .where(not_dropped(col("ids"), dropChannel(df, "winnow", droppedBuckets)))
       .select(explode(array_pairs(col("ids"))).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
@@ -306,15 +314,16 @@ object Dedup {
       posexplode(slice(col("sb"), 2, 4)).as(Seq("band", "bucket")))
     // one shuffle + in-bucket pair generation (see minhash); the 8-byte sig
     // rides along inside the (id, sig) struct so the hamming verify needs no
-    // join back; bucket state bounded at maxBucket (see the object doc).
-    // Explicit repartitions pin both post-shuffle stages at task parallelism
-    // (anti-AQE-funneling) and the hamming filter runs BEFORE the dedupe so
-    // the distinct only sees surviving pairs; filter-then-distinct ==
-    // distinct-then-filter on identical rows.
+    // join back; partial collect_capped stays below the exchange (the
+    // mega-bucket volume bound), the explicit repartition of the capped
+    // buffers pins the pair stage at task parallelism (anti-AQE-funneling),
+    // and the hamming filter runs BEFORE the dedupe so the distinct only
+    // sees surviving pairs (filter-then-distinct == distinct-then-filter on
+    // identical rows).
     banded
-      .repartition(parallelism, col("band"), col("bucket"))
       .groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_capped(col("e"), maxBucket)).as("es"))
+      .repartition(parallelism, col("band"), col("bucket"))
       .where(not_dropped(col("es"), dropChannel(df, "simhash", droppedBuckets)))
       .select(explode(array_pairs(col("es"))).as("p"))
       .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
@@ -351,13 +360,14 @@ object Dedup {
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     val banded = vecs.select(col("id"),
       posexplode(hyperplane_bands(col("v"), bands, rowsPerBand)).as(Seq("band", "bucket")))
-    // one shuffle + in-bucket pair generation (see minhash); bucket state
-    // bounded at maxBucket (see the object doc); explicit repartition pins
-    // the bucket stage at task parallelism (anti-AQE-funneling)
+    // one shuffle + in-bucket pair generation (see minhash); partial
+    // collect_capped stays below the exchange (the mega-bucket volume
+    // bound); the explicit repartition of the capped buffers pins the pair
+    // stage at task parallelism (anti-AQE-funneling)
     val pairs = banded
-      .repartition(parallelism, col("band"), col("bucket"))
       .groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_capped(col("id"), maxBucket)).as("ids"))
+      .repartition(parallelism, col("band"), col("bucket"))
       .where(not_dropped(col("ids"), dropChannel(df, "embedding", droppedBuckets)))
       .select(explode(array_pairs(col("ids"))).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))

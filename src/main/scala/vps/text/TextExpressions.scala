@@ -542,8 +542,12 @@ case class KeepSmallest(
       // bit order, so mirror them below zero (Long.MinValue - bits) — the
       // public keep_smallest(key, id, cap) contract accepts any double key,
       // not just the hash_uniform [0,1) internal callers pass. (-0.0 maps to
-      // +0.0's slot, matching IEEE ==; NaN sorts last, above +Infinity.)
-      val kb0 = java.lang.Double.doubleToRawLongBits(k.asInstanceOf[Double])
+      // +0.0's slot, matching IEEE ==; NaN is canonicalized via
+      // doubleToLongBits so BOTH sign-bit encodings sort last, above
+      // +Infinity — a raw negative-bit NaN would otherwise mirror below
+      // -Infinity and squat in the kept set.)
+      val kd = k.asInstanceOf[Double]
+      val kb0 = java.lang.Double.doubleToLongBits(kd) // canonical NaN bits
       val kb = if (kb0 < 0) java.lang.Long.MIN_VALUE - kb0 else kb0
       b.offer(cap, kb, i.asInstanceOf[Long])
     }
