@@ -126,16 +126,25 @@ object ExplainCheck {
       vps.text.Vocab.docTermCounts(docsTbl, "doc_id", "text"), "doc_id"), 100)
     audit("vocab top-k", topk, Seq("TakeOrderedAndProject", "HashAggregate"))
 
-    // 12) winnow candidates: exactly TWO exchanges (fp buckets, pair count) —
-    // document bytes never ride a shuffle, only (id, fp) and (id_a, id_b)
+    // 12) winnow candidates: exactly THREE hash exchanges — fp buckets
+    // (partial collect_capped BELOW it: the mega-bucket volume bound), the
+    // explicit respread of the capped bucket buffers (anti-AQE-funneling for
+    // the pair-generate stage; carries only O(maxBucket) arrays), and the
+    // pair count. Document bytes never ride a shuffle, only (id, fp) /
+    // capped id-arrays / (id_a, id_b).
     val wc = vps.ml.Dedup.winnowCandidates(
       docsTbl.select(col("doc_id").as("id"), col("text")), minShared = 2)
     wc.collect()
     val wcPlan = wc.queryExecution.executedPlan.toString.split("Initial Plan")(0)
     val wcEx = "Exchange hashpartitioning".r.findAllIn(wcPlan).length
     println(s"\n========== winnow candidate pairs ==========")
-    println(s"[check] ${if (wcEx == 2) "PASS" else s"MISS ($wcEx)"}: exactly two hash Exchanges (fp buckets, pair count)")
+    println(s"[check] ${if (wcEx == 3) "PASS" else s"MISS ($wcEx)"}: exactly three hash Exchanges (fp buckets, capped-buffer respread, pair count)")
     println(s"[check] ${if (wcPlan.contains("ObjectHashAggregate")) "PASS" else "MISS"}: capped-bucket ObjectHashAggregate")
+    // the mega-bucket bound itself: a partial (map-side) collect_capped must
+    // sit below the fp exchange
+    val wcPartial = wcPlan.contains("partial_collect_capped") ||
+      "ObjectHashAggregate".r.findAllIn(wcPlan).length >= 2
+    println(s"[check] ${if (wcPartial) "PASS" else "MISS"}: partial collect_capped below the bucket exchange")
 
     spark.stop()
   }
